@@ -1,0 +1,112 @@
+"""Plain Chambolle-Pock iteration ("CPOCK").
+
+Counterpart of ``run_cp!`` (``/root/reference/src/model_algorithms/
+cp.jl:188-232``): one jitted, lane-masked ``lax.while_loop`` over batched
+iterates.  Default step sizes sigma = gamma = 0.99 / ||L|| use the
+power-iteration estimate from the build step instead of the reference's
+hardcoded constant (``models/cpock.jl:63``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..problem import ProblemData, ProblemMeta
+from ..zv import Dual, Primal, sub
+from .common import (
+    SolveResult,
+    bwhere,
+    check_termination,
+    cp_sweep,
+    register,
+    residual_norms,
+)
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class CPCarry:
+    z: Primal
+    v: Dual
+    res0: Any  # [B, 2]
+    done: Any  # [B] bool
+    niter: Any  # [B] int32
+    xi1: Any  # [B]
+    xi2: Any  # [B]
+    it: Any  # scalar int32
+
+
+def run_cp(
+    data: ProblemData,
+    meta: ProblemMeta,
+    x0,
+    z0: Primal,
+    v0: Dual,
+    tol,
+    max_iter,
+    gamma=None,
+    sigma=None,
+    lam: float = 1.0,
+) -> SolveResult:
+    """Solve to tolerance from a warm start (z0, v0); everything batched [B, ...].
+
+    x0: [B, nx].  Returns a :class:`SolveResult`.
+    """
+    if gamma is None or sigma is None:
+        step = 0.99 / jnp.sqrt(data.L_sq)
+        gamma = sigma = step
+    B = x0.shape[0]
+
+    init = CPCarry(
+        z=z0,
+        v=v0,
+        res0=jnp.full((B, 2), -jnp.inf, x0.dtype),
+        done=jnp.zeros((B,), bool),
+        niter=jnp.zeros((B,), jnp.int32),
+        xi1=jnp.full((B,), jnp.inf, x0.dtype),
+        xi2=jnp.full((B,), jnp.inf, x0.dtype),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: CPCarry):
+        return (~jnp.all(c.done)) & (c.it < max_iter)
+
+    def body(c: CPCarry):
+        zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+        if lam == 1.0:
+            z_new, v_new = zbar, vbar
+        else:
+            from ..zv import lincomb
+
+            z_new = lincomb(lam, zbar, 1.0 - lam, c.z)
+            v_new = lincomb(lam, vbar, 1.0 - lam, c.v)
+
+        xi1, xi2 = residual_norms(
+            data, meta, sub(z_new, c.z), sub(v_new, c.v), gamma, sigma
+        )
+        conv, res0 = check_termination(xi1, xi2, c.res0, tol)
+        active = ~c.done
+        return CPCarry(
+            z=bwhere(active, z_new, c.z),
+            v=bwhere(active, v_new, c.v),
+            res0=jnp.where(active[:, None], res0, c.res0),
+            done=c.done | conv,
+            niter=c.niter + active.astype(jnp.int32),
+            xi1=jnp.where(active, xi1, c.xi1),
+            xi2=jnp.where(active, xi2, c.xi2),
+            it=c.it + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        z=out.z,
+        v=out.v,
+        iterations=out.niter,
+        status=jnp.where(out.done, 0, 1).astype(jnp.int32),
+        xi1=out.xi1,
+        xi2=out.xi2,
+    )

@@ -1,0 +1,299 @@
+"""SuperMann-globalized Chambolle-Pock with quasi-Newton directions — the
+"SPOCK" algorithm.
+
+Counterpart of ``run_sp!`` (``/root/reference/src/model_algorithms/
+sp.jl:358-469``).  The CP operator is wrapped as the fixed-point residual
+r = (z - zbar, v - vbar); each iteration generates a quasi-Newton candidate
+(z, v) + tau * d and accepts it via the K1 (educated) or K2 (GKM safeguard)
+rules, falling back to a plain relaxed CP step; norms/inner products use the
+CP metric M = [[I, -gamma L'], [-sigma L, I]].
+
+Differences from the reference, on purpose:
+* The reference's line search never actually shrinks tau — ``perform_
+  linesearch!`` returns ``tau * beta`` but the call site discards the result
+  (``sp.jl:439``), so all MAX_BACKTRACK retries evaluate the same candidate.
+  We implement the real geometric backtracking tau <- beta * tau the SPOCK
+  paper specifies.
+* K0 "blind" updates are compiled out by default, matching the effective
+  reference behavior (``should_perform_k0`` ends in ``&& false``, sp.jl:80),
+  but can be enabled via :class:`SuperMannOpts`.
+* rho = <r~, M (r~ - tau d)> is computed as <r~, M r~> - tau <r~, M d> with
+  M d hoisted out of the backtracking loop — one L/L' pair saved per retry.
+
+Everything is lane-masked over the batch axis: each lane independently
+chooses K1/K2/fallback and its own backtracking depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linop import metric_apply
+from ..problem import ProblemData, ProblemMeta
+from ..zv import Dual, Primal, lincomb, sub, tmap, vdot
+from . import anderson
+from .common import (
+    SolveResult,
+    bexpand,
+    bwhere,
+    check_termination,
+    cp_sweep,
+    register,
+    residual_norms,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperMannOpts:
+    """Tuning knobs; defaults mirror ``run_sp!``'s keyword defaults
+    (``sp.jl:358-372``)."""
+
+    c0: float = 0.99
+    c1: float = 0.99
+    q: float = 0.99
+    sigma_k2: float = 0.1
+    beta: float = 0.5
+    max_backtracks: int = 8
+    lam: float = 1.0  # CP fallback relaxation
+    lam_sp: float = 1.0  # K2 projection relaxation
+    aa_window: int = 3  # ANDERSON_BUFFER_SIZE (anderson.jl:6)
+    k0: bool = False  # blind updates (disabled in the reference)
+    direction: str = "anderson"  # or "broyden"
+
+
+# ---------------------------------------------------------------------------
+# flat <-> structured conversion for the quasi-Newton history
+# ---------------------------------------------------------------------------
+
+
+def _ravel_pair(z: Primal, v: Dual):
+    leaves = jax.tree_util.tree_leaves((z, v))
+    B = leaves[0].shape[0]
+    return jnp.concatenate([l.reshape(B, -1) for l in leaves], axis=-1)
+
+
+def _unravel_pair(meta: ProblemMeta, flat, like_z: Primal, like_v: Dual):
+    leaves, treedef = jax.tree_util.tree_flatten((like_z, like_v))
+    out = []
+    off = 0
+    B = flat.shape[0]
+    for l in leaves:
+        size = int(np_prod(l.shape[1:]))
+        out.append(flat[:, off : off + size].reshape(l.shape))
+        off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def np_prod(shape):
+    p = 1
+    for s in shape:
+        p *= s
+    return p
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class SPCarry:
+    z: Primal
+    v: Dual
+    rz_prev: Primal
+    rv_prev: Dual
+    dz_prev: Primal  # z_k - z_{k-1} (Anderson's delta_z)
+    dv_prev: Dual
+    MR: Any  # [B, m, K]
+    MP: Any  # [B, m, K]
+    r_safe: Any  # [B]
+    eta: Any  # [B] (K0 threshold)
+    res0: Any  # [B, 2]
+    done: Any  # [B]
+    niter: Any  # [B]
+    xi1: Any
+    xi2: Any
+    it: Any  # scalar
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class _BTCarry:
+    tau: Any  # [B]
+    looping: Any  # [B]
+    z_acc: Primal
+    v_acc: Dual
+    r_safe: Any  # [B]
+    bt: Any  # scalar
+
+
+def run_supermann(
+    data: ProblemData,
+    meta: ProblemMeta,
+    x0,
+    z0: Primal,
+    v0: Dual,
+    tol,
+    max_iter,
+    opts: SuperMannOpts = SuperMannOpts(),
+    gamma=None,
+    sigma=None,
+) -> SolveResult:
+    if gamma is None or sigma is None:
+        step = 0.99 / jnp.sqrt(data.L_sq)
+        gamma = sigma = step
+    B = x0.shape[0]
+    dtype = x0.dtype
+    K = _ravel_pair(z0, v0).shape[-1]
+
+    def mdot(az, av, bmz, bmv):
+        """<(az, av), (bmz, bmv)> per lane (args already metric-applied)."""
+        return vdot(az, bmz, 1) + vdot(av, bmv, 1)
+
+    init = SPCarry(
+        z=z0,
+        v=v0,
+        rz_prev=tmap(jnp.zeros_like, z0),
+        rv_prev=tmap(jnp.zeros_like, v0),
+        dz_prev=tmap(jnp.zeros_like, z0),
+        dv_prev=tmap(jnp.zeros_like, v0),
+        MR=jnp.zeros((B, opts.aa_window, K), dtype),
+        MP=jnp.zeros((B, opts.aa_window, K), dtype),
+        r_safe=jnp.full((B,), jnp.inf, dtype),
+        eta=jnp.full((B,), jnp.inf, dtype),
+        res0=jnp.full((B, 2), -jnp.inf, dtype),
+        done=jnp.zeros((B,), bool),
+        niter=jnp.zeros((B,), jnp.int32),
+        xi1=jnp.full((B,), jnp.inf, dtype),
+        xi2=jnp.full((B,), jnp.inf, dtype),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: SPCarry):
+        return (~jnp.all(c.done)) & (c.it < max_iter)
+
+    def body(c: SPCarry):
+        # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
+        zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+        rz = sub(c.z, zbar)
+        rv = sub(c.v, vbar)
+        Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
+        rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
+
+        # ---- quasi-Newton direction (sp.jl:397-401) ----
+        col_r = _ravel_pair(sub(rz, c.rz_prev), sub(rv, c.rv_prev))
+        col_p = _ravel_pair(c.dz_prev, c.dv_prev) - col_r
+        MR = anderson.push(c.MR, col_r)
+        MP = anderson.push(c.MP, col_p)
+        d_flat = anderson.direction(MR, MP, _ravel_pair(rz, rv))
+        dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
+
+        # rho needs <r~, M d>; hoist M d out of the backtracking loop.
+        Mdz, Mdv = metric_apply(data, meta, dz, dv, gamma, sigma)
+
+        # ---- CP fallback (sp.jl:443-446) ----
+        if opts.lam == 1.0:
+            z_fb, v_fb = zbar, vbar
+        else:
+            z_fb = lincomb(opts.lam, zbar, 1.0 - opts.lam, c.z)
+            v_fb = lincomb(opts.lam, vbar, 1.0 - opts.lam, c.v)
+
+        # ---- K0 blind update (sp.jl:73-107; disabled by default) ----
+        if opts.k0:
+            k0_mask = rnorm <= opts.c0 * c.eta
+            eta_new = jnp.where(k0_mask, rnorm, c.eta)
+            z_init = bwhere(k0_mask, tmap(jnp.add, c.z, dz), z_fb)
+            v_init = bwhere(k0_mask, tmap(jnp.add, c.v, dv), v_fb)
+            loop_init = ~k0_mask
+        else:
+            eta_new = c.eta
+            z_init, v_init = z_fb, v_fb
+            loop_init = jnp.ones((B,), bool)
+
+        q_pow = jnp.asarray(opts.q, dtype) ** c.it.astype(dtype)
+
+        def bt_cond(b: _BTCarry):
+            return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
+
+        def bt_body(b: _BTCarry):
+            # candidate (w, u) = (z, v) + tau d  (sp.jl:118-131)
+            w = tmap(lambda zl, dl: zl + bexpand(b.tau, zl) * dl, c.z, dz)
+            u = tmap(lambda vl, dl: vl + bexpand(b.tau, vl) * dl, c.v, dv)
+            wbar, ubar = cp_sweep(data, meta, w, u, gamma, sigma, x0)
+            rw = sub(w, wbar)
+            ru = sub(u, ubar)
+            Mrw, Mru = metric_apply(data, meta, rw, ru, gamma, sigma)
+            rt_sq = jnp.maximum(mdot(rw, ru, Mrw, Mru), 0.0)
+            rtilde = jnp.sqrt(rt_sq)
+            rho = rt_sq - b.tau * mdot(rw, ru, Mdz, Mdv)
+
+            k1 = (rnorm <= b.r_safe) & (rtilde <= opts.c1 * rnorm) & b.looping
+            k2 = (
+                (rho >= opts.sigma_k2 * rnorm * rtilde) & b.looping & (~k1)
+            )
+            # K2 safeguarded projection step (sp.jl:204-222)
+            coef = jnp.where(rt_sq > 0, rho / jnp.where(rt_sq > 0, rt_sq, 1.0), 0.0)
+            coef = opts.lam_sp * coef
+            z_k2 = tmap(lambda zl, rl: zl - bexpand(coef, zl) * rl, c.z, rw)
+            v_k2 = tmap(lambda vl, rl: vl - bexpand(coef, vl) * rl, c.v, ru)
+
+            z_acc = bwhere(k1, w, bwhere(k2, z_k2, b.z_acc))
+            v_acc = bwhere(k1, u, bwhere(k2, v_k2, b.v_acc))
+            r_safe = jnp.where(k1, rtilde + q_pow, b.r_safe)
+            looping = b.looping & (~k1) & (~k2)
+            tau = jnp.where(looping, b.tau * opts.beta, b.tau)
+            return _BTCarry(
+                tau=tau,
+                looping=looping,
+                z_acc=z_acc,
+                v_acc=v_acc,
+                r_safe=r_safe,
+                bt=b.bt + 1,
+            )
+
+        bt0 = _BTCarry(
+            tau=jnp.ones((B,), dtype),
+            looping=loop_init & (~c.done),
+            z_acc=z_init,
+            v_acc=v_init,
+            r_safe=c.r_safe,
+            bt=jnp.zeros((), jnp.int32),
+        )
+        bt = jax.lax.while_loop(bt_cond, bt_body, bt0)
+        z_new, v_new = bt.z_acc, bt.v_acc
+
+        # ---- termination (sp.jl:270-344) ----
+        dz_iter = sub(z_new, c.z)
+        dv_iter = sub(v_new, c.v)
+        xi1, xi2 = residual_norms(data, meta, dz_iter, dv_iter, gamma, sigma)
+        conv, res0 = check_termination(xi1, xi2, c.res0, tol)
+
+        active = ~c.done
+        return SPCarry(
+            z=bwhere(active, z_new, c.z),
+            v=bwhere(active, v_new, c.v),
+            rz_prev=bwhere(active, rz, c.rz_prev),
+            rv_prev=bwhere(active, rv, c.rv_prev),
+            dz_prev=bwhere(active, dz_iter, c.dz_prev),
+            dv_prev=bwhere(active, dv_iter, c.dv_prev),
+            MR=jnp.where(active[:, None, None], MR, c.MR),
+            MP=jnp.where(active[:, None, None], MP, c.MP),
+            r_safe=jnp.where(active, bt.r_safe, c.r_safe),
+            eta=jnp.where(active, eta_new, c.eta),
+            res0=jnp.where(active[:, None], res0, c.res0),
+            done=c.done | conv,
+            niter=c.niter + active.astype(jnp.int32),
+            xi1=jnp.where(active, xi1, c.xi1),
+            xi2=jnp.where(active, xi2, c.xi2),
+            it=c.it + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        z=out.z,
+        v=out.v,
+        iterations=out.niter,
+        status=jnp.where(out.done, 0, 1).astype(jnp.int32),
+        xi1=out.xi1,
+        xi2=out.xi2,
+    )

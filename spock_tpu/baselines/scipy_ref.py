@@ -1,0 +1,202 @@
+"""Independent CPU reference solver (correctness oracle).
+
+Plays the role of the reference's JuMP backends (Mosek/Ipopt/SCS/... —
+``/root/reference/src/models/model_mosek.jl``): it solves the *same* conic
+program
+
+    min s_root
+    s.t.  x_root = x0
+          x_j = A_wj x_parent(j) + B_wj u_parent(j)          (non-root j)
+          x, u in box
+          x_i' Q_j x_i + u_i' R_j u_i <= tau_j,  i = parent(j)
+          x_i' QN x_i <= s_i                                  (leaves)
+          y_i in K*,  b'y_i <= s_i,  E'y_i = tau_child + s_child,  F'y_i = 0
+
+directly with scipy's SLSQP on the dense variable stack — a completely
+independent code path from the splitting solver, usable as a parity oracle
+for small trees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import optimize
+
+from ..problem import Spec
+from ..tree import UniformTree
+
+
+def solve(spec: Spec, x0, tol: float = 1e-10, maxiter: int = 2000):
+    """Returns dict with x [n, nx], u [n_nonleaf, nu], s [n], tau [n-1],
+    y [n_nonleaf, ny], objective value s[0]."""
+    t: UniformTree = spec.tree
+    A = np.asarray(spec.dynamics.A, float)
+    B = np.asarray(spec.dynamics.B, float)
+    nx, nu = A.shape[-1], B.shape[-1]
+    n, n_nl, n_lf = t.n, t.n_nonleaf, t.n_leaf
+
+    def nodemat(M, i):
+        return M[0] if M.shape[0] == 1 else M[i]
+
+    Q, R, QN = (
+        np.asarray(spec.cost.Q, float),
+        np.asarray(spec.cost.R, float),
+        np.asarray(spec.cost.QN, float),
+    )
+    E, F, b = (
+        np.asarray(spec.risk.E, float),
+        np.asarray(spec.risk.F, float),
+        np.asarray(spec.risk.b, float),
+    )
+    ny = b.shape[-1]
+    x0 = np.asarray(x0, float)
+
+    # variable stacking: [x (n*nx), u (n_nl*nu), s (n), tau (n-1), y (n_nl*ny)]
+    ox, ou = 0, n * nx
+    os_, ot = ou + n_nl * nu, ou + n_nl * nu + n
+    oy = ot + (n - 1)
+    nvar = oy + n_nl * ny
+
+    ix = lambda i: slice(ox + i * nx, ox + (i + 1) * nx)
+    iu = lambda i: slice(ou + i * nu, ou + (i + 1) * nu)
+    iy = lambda i: slice(oy + i * ny, oy + (i + 1) * ny)
+
+    def split(zf):
+        return (
+            zf[ox:ou].reshape(n, nx),
+            zf[ou:os_].reshape(n_nl, nu),
+            zf[os_:ot],
+            zf[ot:oy],
+            zf[oy:].reshape(n_nl, ny),
+        )
+
+    eqs, ineqs = [], []
+
+    # dynamics + root pin
+    def eq_dyn(zf):
+        x, u, s, tau, y = split(zf)
+        out = [x[0] - x0]
+        for j in range(1, n):
+            i, w = t.parent(j), t.w(j)
+            out.append(x[j] - A[w] @ x[i] - B[w] @ u[i])
+        return np.concatenate(out)
+
+    eqs.append(eq_dyn)
+
+    # risk equalities: E'y = tau_child + s_child, F'y = 0.
+    # Skip identically-zero rows of F' (e.g. AV@R has F == 0): they would be
+    # trivially satisfied but make SLSQP's equality Jacobian singular.
+    def eq_risk(zf):
+        x, u, s, tau, y = split(zf)
+        out = []
+        for i in range(n_nl):
+            Ei, Fi = nodemat(E, i), nodemat(F, i)
+            kids = list(t.children(i))
+            rhs = np.array([tau[j - 1] + s[j] for j in kids])
+            out.append(Ei.T @ y[i] - rhs)
+            keep = np.abs(Fi).sum(axis=0) > 0
+            if keep.any():
+                out.append((Fi.T @ y[i])[keep])
+        return np.concatenate(out)
+
+    eqs.append(eq_risk)
+
+    # cost epigraphs (quadratic, smooth)
+    def ineq_cost(zf):
+        x, u, s, tau, y = split(zf)
+        out = []
+        for j in range(1, n):
+            i = t.parent(j)
+            Qj, Rj = nodemat(Q, j - 1), nodemat(R, j - 1)
+            out.append(tau[j - 1] - x[i] @ Qj @ x[i] - u[i] @ Rj @ u[i])
+        for k in range(n_lf):
+            i = t.leaf_start + k
+            QNk = nodemat(QN, k)
+            out.append(s[i] - x[i] @ QNk @ x[i])
+        return np.array(out)
+
+    ineqs.append(ineq_cost)
+
+    # b'y <= s_i
+    def ineq_sby(zf):
+        x, u, s, tau, y = split(zf)
+        return np.array(
+            [s[i] - nodemat(b, i) @ y[i] for i in range(n_nl)]
+        )
+
+    ineqs.append(ineq_sby)
+
+    # y in K*: bounds for polyhedral segments, nonlinear for SOC
+    lb = np.full(nvar, -np.inf)
+    ub = np.full(nvar, np.inf)
+    from ..risks import dual_cone
+
+    dual = dual_cone(spec.risk.cone)
+    for i in range(n_nl):
+        off = oy + i * ny
+        seg_off = 0
+        for kind, dim in dual:
+            sl = slice(off + seg_off, off + seg_off + dim)
+            if kind == "nonneg":
+                lb[sl] = 0.0
+            elif kind == "nonpos":
+                ub[sl] = 0.0
+            elif kind == "zero":
+                lb[sl] = ub[sl] = 0.0
+            elif kind == "reals":
+                pass
+            elif kind == "soc":
+                s0, d0 = seg_off, dim
+
+                def ineq_soc(zf, i=i, s0=s0, d0=d0):
+                    yseg = zf[oy + i * ny + s0 : oy + i * ny + s0 + d0]
+                    return np.array(
+                        [yseg[0] - np.linalg.norm(yseg[1:])]
+                    )
+
+                ineqs.append(ineq_soc)
+            else:
+                raise NotImplementedError(kind)
+            seg_off += dim
+
+    # box constraints
+    xminb = np.broadcast_to(np.asarray(spec.constraints.x_min, float), (nx,))
+    xmaxb = np.broadcast_to(np.asarray(spec.constraints.x_max, float), (nx,))
+    uminb = np.broadcast_to(np.asarray(spec.constraints.u_min, float), (nu,))
+    umaxb = np.broadcast_to(np.asarray(spec.constraints.u_max, float), (nu,))
+    for i in range(n):
+        lb[ix(i)] = np.maximum(lb[ix(i)], xminb)
+        ub[ix(i)] = np.minimum(ub[ix(i)], xmaxb)
+    for i in range(n_nl):
+        lb[iu(i)] = np.maximum(lb[iu(i)], uminb)
+        ub[iu(i)] = np.minimum(ub[iu(i)], umaxb)
+
+    z_init = np.zeros(nvar)
+    z_init[ix(0)] = np.clip(x0, lb[ix(0)], ub[ix(0)])
+
+    cons = [{"type": "eq", "fun": f} for f in eqs] + [
+        {"type": "ineq", "fun": f} for f in ineqs
+    ]
+    obj_grad = np.zeros(nvar)
+    obj_grad[os_] = 1.0
+    res = optimize.minimize(
+        lambda zf: zf[os_],
+        z_init,
+        jac=lambda zf: obj_grad,
+        bounds=optimize.Bounds(lb, ub),
+        constraints=cons,
+        method="SLSQP",
+        options={"maxiter": maxiter, "ftol": tol},
+    )
+    if not res.success:
+        raise RuntimeError(f"oracle failed: {res.message}")
+    x, u, s, tau, y = split(res.x)
+    return {
+        "x": x,
+        "u": u,
+        "s": s,
+        "tau": tau,
+        "y": y,
+        "objective": s[0],
+        "scipy_result": res,
+    }

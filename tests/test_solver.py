@@ -1,0 +1,127 @@
+"""End-to-end solver tests: CP and SPOCK on the reference's tiny car problem
+and server_heat, checked for solution structure (exact dynamics, exact risk
+coupling — the reference's integration tests) and against the independent
+scipy conic oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spock_tpu import build
+from spock_tpu.baselines import scipy_ref
+from spock_tpu.models import car, server_heat
+from spock_tpu.solver import Solver
+
+
+@pytest.fixture(scope="module")
+def car_built():
+    spec = car.make_spec(N=3, d=2)
+    data, meta = build(spec, dtype=jnp.float64)
+    return spec, data, meta
+
+
+@pytest.fixture(scope="module")
+def car_oracle(car_built):
+    spec, _, _ = car_built
+    return scipy_ref.solve(spec, x0=np.array([0.1, 0.1]))
+
+
+@pytest.mark.parametrize("algorithm", ["cp", "spock"])
+def test_solution_structure(car_built, algorithm):
+    """Reference tests at test/model_dynamics/implicit_L.jl:59-78."""
+    spec, data, meta = car_built
+    t = meta.tree
+    solver = Solver(data, meta, algorithm=algorithm)
+    res = solver.solve(np.array([0.1, 0.1]), tol=1e-5)
+    assert bool(res.converged)
+    x, u = np.asarray(res.z.x), np.asarray(res.z.u)
+    A, B = np.asarray(data.A), np.asarray(data.B)
+
+    # dynamics hold exactly at every node
+    for j in range(1, t.n):
+        i, w = t.parent(j), t.w(j)
+        np.testing.assert_allclose(x[j], A[w] @ x[i] + B[w] @ u[i], atol=1e-10)
+
+    # E' y = tau_child + s_child holds exactly
+    E = np.asarray(data.E)
+    y, s, tau = np.asarray(res.z.y), np.asarray(res.z.s), np.asarray(res.z.tau)
+    for i in range(t.n_nonleaf):
+        Ei = E[0] if E.shape[0] == 1 else E[i]
+        kids = list(t.children(i))
+        rhs = np.array([tau[j - 1] + s[j] for j in kids])
+        np.testing.assert_allclose(Ei.T @ y[i], rhs, atol=1e-10)
+
+
+@pytest.mark.parametrize("algorithm", ["cp", "spock"])
+def test_matches_oracle(car_built, car_oracle, algorithm):
+    """Controls and objective match the independent conic solver."""
+    spec, data, meta = car_built
+    solver = Solver(data, meta, algorithm=algorithm)
+    res = solver.solve(np.array([0.1, 0.1]), tol=1e-6)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.z.u)[0], car_oracle["u"][0], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(res.z.s[0]), car_oracle["objective"], atol=2e-4
+    )
+
+
+def test_spock_not_slower_than_cp(car_built):
+    spec, data, meta = car_built
+    x0 = np.array([0.1, 0.1])
+    it_cp = int(Solver(data, meta, algorithm="cp").solve(x0, tol=1e-5).iterations)
+    it_sp = int(
+        Solver(data, meta, algorithm="spock").solve(x0, tol=1e-5).iterations
+    )
+    # SuperMann+AA should converge in (far) fewer iterations
+    assert it_sp < it_cp
+
+
+def test_warm_start_reduces_iterations(car_built):
+    spec, data, meta = car_built
+    solver = Solver(data, meta, algorithm="spock")
+    x0 = np.array([0.1, 0.1])
+    res1 = solver.solve(x0, tol=1e-4)
+    # nearby initial state, warm-started from previous solution
+    x0b = x0 + 0.01
+    cold = solver.solve(x0b, tol=1e-4)
+    import jax
+
+    expand = lambda tree: jax.tree_util.tree_map(lambda a: a[None], tree)
+    warm = solver.solve(x0b, z0=expand(res1.z), v0=expand(res1.v), tol=1e-4)
+    assert int(warm.iterations) <= int(cold.iterations)
+
+
+def test_batched_solve(car_built):
+    """Each lane of a batched solve matches its standalone solve.
+
+    Iteration counts may differ slightly: reduction vectorization differs
+    between batch shapes, and SuperMann's accept logic is branch-sensitive;
+    the converged solutions must still agree to solver tolerance.
+    """
+    spec, data, meta = car_built
+    solver = Solver(data, meta, algorithm="spock")
+    x0s = np.array([[0.1, 0.1], [0.2, -0.1], [-0.3, 0.25]])
+    res_b = solver.solve(x0s, tol=1e-5)
+    assert bool(np.all(np.asarray(res_b.status) == 0))
+    for i in range(3):
+        res_i = solver.solve(x0s[i], tol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res_b.z.u)[i], np.asarray(res_i.z.u), atol=1e-4
+        )
+
+
+def test_server_heat_oracle_parity():
+    """server_heat N=3 (CPU-runnable reference config, BASELINE.json[0])."""
+    spec = server_heat.make_spec(N=3, nx=3, d=2)
+    data, meta = build(spec, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-0.8, 0.8, size=3)
+    ora = scipy_ref.solve(spec, x0=x0)
+    res = Solver(data, meta, algorithm="spock").solve(x0, tol=1e-6)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.z.u)[0], ora["u"][0], atol=2e-4)
+    np.testing.assert_allclose(
+        float(res.z.s[0]), ora["objective"], atol=2e-4
+    )
