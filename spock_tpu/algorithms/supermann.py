@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..ops.linop import metric_apply
 from ..problem import ProblemData, ProblemMeta
 from ..zv import Dual, Primal, lincomb, sub, tmap, vdot
-from . import anderson
+from . import anderson, broyden
 from .common import (
     SolveResult,
     bexpand,
@@ -62,7 +62,8 @@ class SuperMannOpts:
     lam_sp: float = 1.0  # K2 projection relaxation
     aa_window: int = 3  # ANDERSON_BUFFER_SIZE (anderson.jl:6)
     k0: bool = False  # blind updates (disabled in the reference)
-    direction: str = "anderson"  # or "broyden"
+    direction: str = "anderson"  # "anderson" | "broyden" | "residual"
+    broyden_mem: int = 20  # restart length MAX_K (restarted_broyden.jl:8)
 
 
 # ---------------------------------------------------------------------------
@@ -102,10 +103,9 @@ class SPCarry:
     v: Dual
     rz_prev: Primal
     rv_prev: Dual
-    dz_prev: Primal  # z_k - z_{k-1} (Anderson's delta_z)
+    dz_prev: Primal  # z_k - z_{k-1} (the quasi-Newton secant s)
     dv_prev: Dual
-    MR: Any  # [B, m, K]
-    MP: Any  # [B, m, K]
+    dirstate: Any  # direction-provider state (AA history / Broyden ring)
     r_safe: Any  # [B]
     eta: Any  # [B] (K0 threshold)
     res0: Any  # [B, 2]
@@ -150,6 +150,18 @@ def run_supermann(
         """<(az, av), (bmz, bmv)> per lane (args already metric-applied)."""
         return vdot(az, bmz, 1) + vdot(av, bmv, 1)
 
+    if opts.direction == "anderson":
+        dirstate0 = (
+            jnp.zeros((B, opts.aa_window, K), dtype),  # MR
+            jnp.zeros((B, opts.aa_window, K), dtype),  # MP
+        )
+    elif opts.direction == "broyden":
+        dirstate0 = broyden.init(B, K, opts.broyden_mem, dtype)
+    elif opts.direction == "residual":
+        dirstate0 = ()
+    else:
+        raise ValueError(f"unknown direction {opts.direction!r}")
+
     init = SPCarry(
         z=z0,
         v=v0,
@@ -157,8 +169,7 @@ def run_supermann(
         rv_prev=tmap(jnp.zeros_like, v0),
         dz_prev=tmap(jnp.zeros_like, z0),
         dv_prev=tmap(jnp.zeros_like, v0),
-        MR=jnp.zeros((B, opts.aa_window, K), dtype),
-        MP=jnp.zeros((B, opts.aa_window, K), dtype),
+        dirstate=dirstate0,
         r_safe=jnp.full((B,), jnp.inf, dtype),
         eta=jnp.full((B,), jnp.inf, dtype),
         res0=jnp.full((B, 2), -jnp.inf, dtype),
@@ -181,11 +192,25 @@ def run_supermann(
         rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
-        col_r = _ravel_pair(sub(rz, c.rz_prev), sub(rv, c.rv_prev))
-        col_p = _ravel_pair(c.dz_prev, c.dv_prev) - col_r
-        MR = anderson.push(c.MR, col_r)
-        MP = anderson.push(c.MP, col_p)
-        d_flat = anderson.direction(MR, MP, _ravel_pair(rz, rv))
+        r_flat = _ravel_pair(rz, rv)
+        y_flat = _ravel_pair(sub(rz, c.rz_prev), sub(rv, c.rv_prev))
+        s_flat = _ravel_pair(c.dz_prev, c.dv_prev)
+        if opts.direction == "anderson":
+            MR = anderson.push(c.dirstate[0], y_flat)
+            MP = anderson.push(c.dirstate[1], s_flat - y_flat)
+            d_flat = anderson.direction(MR, MP, r_flat)
+            dirstate = (MR, MP)
+        elif opts.direction == "broyden":
+            Msz, Msv = metric_apply(
+                data, meta, c.dz_prev, c.dv_prev, gamma, sigma
+            )
+            ps_flat = _ravel_pair(Msz, Msv)
+            d_flat, dirstate = broyden.direction(
+                c.dirstate, r_flat, s_flat, y_flat, ps_flat, opts.broyden_mem
+            )
+        else:  # plain residual direction (KM step candidates)
+            d_flat = -r_flat
+            dirstate = ()
         dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
 
         # rho needs <r~, M d>; hoist M d out of the backtracking loop.
@@ -276,8 +301,15 @@ def run_supermann(
             rv_prev=bwhere(active, rv, c.rv_prev),
             dz_prev=bwhere(active, dz_iter, c.dz_prev),
             dv_prev=bwhere(active, dv_iter, c.dv_prev),
-            MR=jnp.where(active[:, None, None], MR, c.MR),
-            MP=jnp.where(active[:, None, None], MP, c.MP),
+            dirstate=tmap(
+                lambda n, o: jnp.where(
+                    active.reshape((B,) + (1,) * (n.ndim - 1)), n, o
+                )
+                if n.ndim >= 1 and n.shape[:1] == (B,)
+                else n,
+                dirstate,
+                c.dirstate,
+            ),
             r_safe=jnp.where(active, bt.r_safe, c.r_safe),
             eta=jnp.where(active, eta_new, c.eta),
             res0=jnp.where(active[:, None], res0, c.res0),

@@ -1,0 +1,64 @@
+"""MPC closed-loop simulation and multi-device sharded solves (on the
+virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spock_tpu import build
+from spock_tpu.models import server_heat
+from spock_tpu import mpc
+from spock_tpu.parallel import mesh as pmesh
+from spock_tpu.solver import Solver, zero_dual, zero_primal
+
+
+def _built(N=4, nx=4):
+    spec = server_heat.make_spec(N=N, nx=nx, d=2)
+    data, meta = build(spec, dtype=jnp.float64)
+    return spec, data, meta
+
+
+def test_mpc_simulation_runs_and_warm_start_pays():
+    spec, data, meta = _built()
+    B, T = 4, 6
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    ws = jnp.asarray(rng.integers(0, meta.tree.d, (T, B)))
+    res = mpc.simulate(data, meta, x0, ws, tol=1e-4)
+    assert res.xs.shape == (T + 1, B, meta.nx)
+    assert res.us.shape == (T, B, meta.nu)
+    assert bool(jnp.all(res.status == 0))
+    # inputs respect the box
+    assert float(jnp.max(jnp.abs(res.us))) <= 1.5 + 1e-6
+    # warm-started later steps should generally need fewer iterations than
+    # the cold first step
+    assert float(res.iterations[1:].mean()) < float(
+        res.iterations[0].mean()
+    )
+
+
+def test_sharded_batch_solve_matches_single_device():
+    spec, data, meta = _built()
+    n_dev = min(8, jax.device_count())
+    assert n_dev >= 2, "tests expect virtual multi-device CPU"
+    B = 2 * n_dev
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+
+    solver = Solver(data, meta, algorithm="spock")
+    res_local = solver.solve(x0, tol=1e-4)
+
+    m = pmesh.make_mesh(n_dev)
+    data_r = pmesh.replicate(data, m)
+    x0_s = pmesh.shard_batch(x0, m)
+    z0 = pmesh.shard_batch(zero_primal(meta, (B,), x0.dtype), m)
+    v0 = pmesh.shard_batch(zero_dual(meta, (B,), x0.dtype), m)
+    solver_s = Solver(data_r, meta, algorithm="spock")
+    res_shard = solver_s.solve(x0_s, z0=z0, v0=v0, tol=1e-4)
+
+    # identical problems, but reduction order and per-lane stopping iteration
+    # differ across shardings — agreement is to solver tolerance, not ulps
+    np.testing.assert_allclose(
+        np.asarray(res_shard.z.u), np.asarray(res_local.z.u), atol=1e-3, rtol=0
+    )
+    assert bool(jnp.all(res_shard.status == 0))

@@ -125,3 +125,31 @@ def test_server_heat_oracle_parity():
     np.testing.assert_allclose(
         float(res.z.s[0]), ora["objective"], atol=2e-4
     )
+
+
+import jax as _jax
+
+
+def test_broyden_and_residual_directions(car_built):
+    """All direction providers converge to the same solution; Broyden and
+    Anderson should both beat the plain residual direction."""
+    from spock_tpu.algorithms.supermann import SuperMannOpts
+
+    spec, data, meta = car_built
+    x0 = np.array([0.1, 0.1])
+    iters = {}
+    sols = {}
+    for direction in ["anderson", "broyden", "residual"]:
+        s = Solver(
+            data,
+            meta,
+            algorithm="spock",
+            supermann=SuperMannOpts(direction=direction, broyden_mem=10),
+        )
+        res = s.solve(x0, tol=1e-5)
+        assert bool(res.converged), direction
+        iters[direction] = int(res.iterations)
+        sols[direction] = np.asarray(res.z.u)
+    np.testing.assert_allclose(sols["anderson"], sols["broyden"], atol=1e-3)
+    np.testing.assert_allclose(sols["anderson"], sols["residual"], atol=1e-3)
+    assert iters["broyden"] <= iters["residual"]
