@@ -18,7 +18,18 @@ import numpy as np
 
 
 def main():
+    import os
+
+    # Persistent compilation cache: tunnel-side compiles are slow (minutes);
+    # cache them across bench runs.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from spock_tpu import build

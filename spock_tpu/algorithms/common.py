@@ -99,6 +99,7 @@ class SolveResult:
     status: Any  # [B] int32
     xi1: Any  # [B] final residuals
     xi2: Any  # [B]
+    residuals: Any = None  # [max_iter, B, k] per-iteration trace (record=True)
 
     @property
     def converged(self):

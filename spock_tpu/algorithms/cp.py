@@ -38,6 +38,7 @@ class CPCarry:
     xi1: Any  # [B]
     xi2: Any  # [B]
     it: Any  # scalar int32
+    hist: Any  # [max_iter, B, 2] residual trace (shape (0,...) when disabled)
 
 
 def run_cp(
@@ -51,10 +52,15 @@ def run_cp(
     gamma=None,
     sigma=None,
     lam: float = 1.0,
+    record: bool = False,
 ) -> SolveResult:
     """Solve to tolerance from a warm start (z0, v0); everything batched [B, ...].
 
     x0: [B, nx].  Returns a :class:`SolveResult`.
+
+    record=True keeps a per-iteration (xi1, xi2) trace in ``result.residuals``
+    — the TPU equivalent of the reference's LOG verbose mode (``cp.jl:82-97``,
+    which appends residuals to .dat files).
     """
     if gamma is None or sigma is None:
         step = 0.99 / jnp.sqrt(data.L_sq)
@@ -70,6 +76,7 @@ def run_cp(
         xi1=jnp.full((B,), jnp.inf, x0.dtype),
         xi2=jnp.full((B,), jnp.inf, x0.dtype),
         it=jnp.zeros((), jnp.int32),
+        hist=jnp.zeros((max_iter if record else 0, B, 2), x0.dtype),
     )
 
     def cond(c: CPCarry):
@@ -90,6 +97,9 @@ def run_cp(
         )
         conv, res0 = check_termination(xi1, xi2, c.res0, tol)
         active = ~c.done
+        hist = c.hist
+        if record:
+            hist = hist.at[c.it].set(jnp.stack([xi1, xi2], axis=-1))
         return CPCarry(
             z=bwhere(active, z_new, c.z),
             v=bwhere(active, v_new, c.v),
@@ -99,6 +109,7 @@ def run_cp(
             xi1=jnp.where(active, xi1, c.xi1),
             xi2=jnp.where(active, xi2, c.xi2),
             it=c.it + 1,
+            hist=hist,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -109,4 +120,5 @@ def run_cp(
         status=jnp.where(out.done, 0, 1).astype(jnp.int32),
         xi1=out.xi1,
         xi2=out.xi2,
+        residuals=out.hist if record else None,
     )

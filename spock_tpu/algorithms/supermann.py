@@ -114,6 +114,7 @@ class SPCarry:
     xi1: Any
     xi2: Any
     it: Any  # scalar
+    hist: Any  # [max_iter, B, 3] (xi1, xi2, backtracks); shape (0,..) if off
 
 
 @register
@@ -138,6 +139,7 @@ def run_supermann(
     opts: SuperMannOpts = SuperMannOpts(),
     gamma=None,
     sigma=None,
+    record: bool = False,
 ) -> SolveResult:
     if gamma is None or sigma is None:
         step = 0.99 / jnp.sqrt(data.L_sq)
@@ -178,6 +180,7 @@ def run_supermann(
         xi1=jnp.full((B,), jnp.inf, dtype),
         xi2=jnp.full((B,), jnp.inf, dtype),
         it=jnp.zeros((), jnp.int32),
+        hist=jnp.zeros((max_iter if record else 0, B, 3), dtype),
     )
 
     def cond(c: SPCarry):
@@ -294,6 +297,12 @@ def run_supermann(
         conv, res0 = check_termination(xi1, xi2, c.res0, tol)
 
         active = ~c.done
+        hist = c.hist
+        if record:
+            bts = jnp.broadcast_to(
+                (bt.bt - 1).astype(dtype), xi1.shape
+            )
+            hist = hist.at[c.it].set(jnp.stack([xi1, xi2, bts], axis=-1))
         return SPCarry(
             z=bwhere(active, z_new, c.z),
             v=bwhere(active, v_new, c.v),
@@ -318,6 +327,7 @@ def run_supermann(
             xi1=jnp.where(active, xi1, c.xi1),
             xi2=jnp.where(active, xi2, c.xi2),
             it=c.it + 1,
+            hist=hist,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -328,4 +338,5 @@ def run_supermann(
         status=jnp.where(out.done, 0, 1).astype(jnp.int32),
         xi1=out.xi1,
         xi2=out.xi2,
+        residuals=out.hist if record else None,
     )
