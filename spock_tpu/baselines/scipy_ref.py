@@ -117,6 +117,30 @@ def solve(spec: Spec, x0, tol: float = 1e-10, maxiter: int = 2000):
 
     ineqs.append(ineq_cost)
 
+    # polytopic rows (extension): lo <= Gx x + Gu u <= hi per non-leaf,
+    # loN <= GxN x <= hiN per leaf; skip infinite bounds
+    if spec.polytope is not None:
+        P = spec.polytope
+        Gx, Gu = np.asarray(P.Gx, float), np.asarray(P.Gu, float)
+        lo, hi = np.asarray(P.lo, float), np.asarray(P.hi, float)
+        GxN = np.asarray(P.GxN, float)
+        loN, hiN = np.asarray(P.loN, float), np.asarray(P.hiN, float)
+
+        def ineq_poly(zf):
+            x, u, s, tau, y = split(zf)
+            out = []
+            for i in range(n_nl):
+                g = Gx @ x[i] + Gu @ u[i]
+                out.append((hi - g)[np.isfinite(hi)])
+                out.append((g - lo)[np.isfinite(lo)])
+            for k in range(n_lf):
+                g = GxN @ x[t.leaf_start + k]
+                out.append((hiN - g)[np.isfinite(hiN)])
+                out.append((g - loN)[np.isfinite(loN)])
+            return np.concatenate(out) if out else np.zeros(0)
+
+        ineqs.append(ineq_poly)
+
     # b'y <= s_i
     def ineq_sby(zf):
         x, u, s, tau, y = split(zf)

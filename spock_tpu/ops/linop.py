@@ -98,6 +98,17 @@ def apply_L(data: ProblemData, meta: ProblemMeta, z: Primal) -> Dual:
     half_tau = 0.5 * z.tau
     half_s_leaf = 0.5 * z.s[..., ls:]
 
+    if meta.nc_nl > 0:
+        pnl = jnp.einsum("cx,...nx->...nc", data.Gx, x_nl) + jnp.einsum(
+            "cu,...nu->...nc", data.Gu, z.u
+        )
+    else:
+        pnl = None
+    if meta.nc_lf > 0:
+        plf = jnp.einsum("cx,...nx->...nc", data.GxN, x_leaf)
+    else:
+        plf = None
+
     return Dual(
         y=z.y,
         sby=z.s[..., :n_nl] - bdot(data.b, z.y),
@@ -111,6 +122,8 @@ def apply_L(data: ProblemData, meta: ProblemMeta, z: Primal) -> Dual:
         s12=half_s_leaf,
         s13=half_s_leaf,
         cxN=x_leaf,
+        pnl=pnl,
+        plf=plf,
     )
 
 
@@ -122,6 +135,12 @@ def apply_LT(data: ProblemData, meta: ProblemMeta, v: Dual) -> Primal:
     x_nl = v.cx + _sum_children(nmul_t(data.sqrtQ, v.qx), d, 1)
     x_leaf = v.cxN + nmul_t(data.sqrtQN, v.qNx)
     u = v.cu + _sum_children(nmul_t(data.sqrtR, v.ru), d, 1)
+
+    if v.pnl is not None:
+        x_nl = x_nl + jnp.einsum("cx,...nc->...nx", data.Gx, v.pnl)
+        u = u + jnp.einsum("cu,...nc->...nu", data.Gu, v.pnl)
+    if v.plf is not None:
+        x_leaf = x_leaf + jnp.einsum("cx,...nc->...nx", data.GxN, v.plf)
 
     if data.b.shape[0] == 1:
         y = v.y - v.sby[..., None] * data.b[0]

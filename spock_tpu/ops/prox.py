@@ -101,6 +101,11 @@ def _project_S3(data: ProblemData, meta: ProblemMeta, w: Dual) -> Dual:
         s12=s12,
         s13=s13,
         cxN=project_box(w.cxN, data.x_min, data.x_max),
+        # polytopic rows (extension): two-sided clip
+        pnl=None if w.pnl is None else project_box(w.pnl, data.p_lo, data.p_hi),
+        plf=None
+        if w.plf is None
+        else project_box(w.plf, data.pN_lo, data.pN_hi),
     )
 
 
@@ -122,11 +127,12 @@ def prox_h_conj(data: ProblemData, meta: ProblemMeta, v: Dual, sigma) -> Dual:
         s12=v.s12 * inv - 0.5,
         s13=v.s13 * inv + 0.5,
         cxN=v.cxN * inv,
+        pnl=None if v.pnl is None else v.pnl * inv,
+        plf=None if v.plf is None else v.plf * inv,
     )
     p = _project_S3(data, meta, w)
-    return Dual(
-        **{
-            f.name: sigma * (getattr(w, f.name) - getattr(p, f.name))
-            for f in dataclasses.fields(Dual)
-        }
-    )
+    out = {}
+    for f in dataclasses.fields(Dual):
+        wv, pv = getattr(w, f.name), getattr(p, f.name)
+        out[f.name] = None if wv is None else sigma * (wv - pv)
+    return Dual(**out)

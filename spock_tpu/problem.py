@@ -80,6 +80,30 @@ class Box:
     u_max: Any
 
 
+@dataclasses.dataclass(frozen=True)
+class Polytope:
+    """Two-sided polytopic constraints (extension beyond the reference, which
+    only supports boxes):
+
+        lo <= Gx x_i + Gu u_i <= hi   at every non-leaf node,
+        loN <= GxN x_i <= hiN         at every leaf node.
+
+    One-sided rows use -inf / +inf.  Enters the splitting as extra blocks of
+    the operator L with a box prox — same mechanism as the reference's v7/v14
+    blocks, with a general matrix instead of the identity.
+
+    Shapes: Gx [nc, nx], Gu [nc, nu], lo/hi [nc]; GxN [ncN, nx], loN/hiN [ncN].
+    """
+
+    Gx: np.ndarray
+    Gu: np.ndarray
+    lo: np.ndarray
+    hi: np.ndarray
+    GxN: np.ndarray
+    loN: np.ndarray
+    hiN: np.ndarray
+
+
 # ---------------------------------------------------------------------------
 # Built problem (device pytrees + static meta)
 # ---------------------------------------------------------------------------
@@ -144,6 +168,14 @@ class ProblemData:
     ker_proj: Any  # [n_nonleaf | 1, ny + 2d, ny + 2d] projector onto ker(M_i)
     # operator norm estimate: ||L||^2 (cf. L_norm, models/spock.jl:64)
     L_sq: Any  # scalar
+    # polytopic constraints (None when absent)
+    Gx: Any = None  # [nc, nx]
+    Gu: Any = None  # [nc, nu]
+    p_lo: Any = None  # [nc]
+    p_hi: Any = None  # [nc]
+    GxN: Any = None  # [ncN, nx]
+    pN_lo: Any = None  # [ncN]
+    pN_hi: Any = None  # [ncN]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +188,8 @@ class ProblemMeta:
     ny: int
     nf: int
     cone: ConeSpec  # K (primal cone of the risk measure)
+    nc_nl: int = 0  # polytope rows per non-leaf node (0 = no polytope)
+    nc_lf: int = 0  # polytope rows per leaf node
 
     @property
     def dual_cone(self) -> ConeSpec:
@@ -189,6 +223,8 @@ class ProblemMeta:
             + t.n_leaf  # v12
             + t.n_leaf  # v13
             + t.n_leaf * self.nx  # v14
+            + t.n_nonleaf * self.nc_nl  # polytope (extension)
+            + t.n_leaf * self.nc_lf
         )
 
 
@@ -201,6 +237,7 @@ class Spec:
     dynamics: Dynamics
     risk: RiskSpec
     constraints: Box
+    polytope: Optional[Polytope] = None
 
 
 # ---------------------------------------------------------------------------
@@ -352,8 +389,16 @@ def build(
         RiskSpec(E=E, F=F, b=b, cone=risk.cone), d, uniform=risk_uniform
     )
 
+    poly = spec.polytope
     meta = ProblemMeta(
-        tree=tree, nx=nx, nu=nu, ny=b.shape[-1], nf=F.shape[-1], cone=risk.cone
+        tree=tree,
+        nx=nx,
+        nu=nu,
+        ny=b.shape[-1],
+        nf=F.shape[-1],
+        cone=risk.cone,
+        nc_nl=0 if poly is None else np.asarray(poly.Gx).shape[0],
+        nc_lf=0 if poly is None else np.asarray(poly.GxN).shape[0],
     )
 
     cvt = lambda a: jnp.asarray(a, dtype=dtype)
@@ -373,6 +418,13 @@ def build(
         ric=jax.tree_util.tree_map(cvt, ric),
         ker_proj=cvt(ker),
         L_sq=jnp.asarray(1.0, dtype=dtype),  # replaced below
+        Gx=None if poly is None else cvt(poly.Gx),
+        Gu=None if poly is None else cvt(poly.Gu),
+        p_lo=None if poly is None else cvt(poly.lo),
+        p_hi=None if poly is None else cvt(poly.hi),
+        GxN=None if poly is None else cvt(poly.GxN),
+        pN_lo=None if poly is None else cvt(poly.loN),
+        pN_hi=None if poly is None else cvt(poly.hiN),
     )
 
     # ||L||^2 by power iteration on L'L (done in the solver's own dtype).

@@ -59,6 +59,8 @@ def zero_dual(meta: ProblemMeta, batch: tuple = (), dtype=jnp.float32) -> Dual:
         s12=z(t.n_leaf),
         s13=z(t.n_leaf),
         cxN=z(t.n_leaf, meta.nx),
+        pnl=z(t.n_nonleaf, meta.nc_nl) if meta.nc_nl > 0 else None,
+        plf=z(t.n_leaf, meta.nc_lf) if meta.nc_lf > 0 else None,
     )
 
 

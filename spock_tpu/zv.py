@@ -87,6 +87,12 @@ class Dual:
     s12: Any
     s13: Any
     cxN: Any
+    # Optional polytopic constraint blocks (no reference counterpart — the
+    # reference only supports boxes).  None when the problem has no polytope.
+    #   pnl: [n_nonleaf, nc]  = Gx x_i + Gu u_i, constrained to [lo, hi]
+    #   plf: [n_leaf, ncN]    = GxN x_i, constrained to [loN, hiN]
+    pnl: Any = None
+    plf: Any = None
 
 
 # ---------------------------------------------------------------------------
