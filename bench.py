@@ -61,7 +61,7 @@ def main():
             tol=jnp.asarray(tol, jnp.float32),
             max_iter=1000,
         )
-        u0 = res.z.u[:, 0, :]
+        u0 = res.z.u[:, :, 0]
         Aw, Bw = data.A[w], data.B[w]
         x_next = jnp.einsum("bxy,by->bx", Aw, x) + jnp.einsum(
             "bxu,bu->bx", Bw, u0

@@ -6,25 +6,29 @@ qnewton_directions/anderson.jl``): window-m history of residual differences
 
     d = -r - dP^T gamma,   gamma = argmin || dR^T gamma - r ||_2.
 
-The reference maintains an incrementally-updated (approximate) QR of the
-history; with a small static window the least-squares solve is a tiny m x m
-normal-equation system per lane, which we solve directly with Tikhonov
-regularization — numerically equivalent at the tolerance the safeguarded
-SuperMann scheme needs, and far friendlier to the TPU (one batched 3x3
-solve instead of sequential Gram-Schmidt).
+Two deliberate departures from the reference, both TPU-motivated:
 
-History layout: [B, m, K] with row 0 = newest (matching the reference's
-shift-right-newest-first convention).
+* **Circular buffer, not shift.**  The reference shifts its history matrices
+  every iteration (newest first); on TPU that is a full read+write of the
+  [B, m, K] buffers (K = nz + nv).  The least-squares solve is invariant to
+  row order, so we overwrite one slot per iteration instead — O(K) instead
+  of O(mK) traffic.
+* **Normal equations, not incremental QR.**  The reference maintains an
+  approximate shifted QR via sequential Gram-Schmidt; with a small static
+  window the solve is a tiny m x m system per lane, which we form and solve
+  batched with Tikhonov regularization.  Accuracy differences are absorbed
+  by SuperMann's K1/K2 safeguards.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def push(hist, col):
-    """Shift history down and insert ``col`` ([B, K]) as row 0."""
-    return jnp.concatenate([col[:, None, :], hist[:, :-1, :]], axis=1)
+def write_slot(hist, col, slot):
+    """Overwrite ring slot ``slot`` (scalar int) with ``col`` [B, K]."""
+    return jax.lax.dynamic_update_slice_in_dim(hist, col[:, None, :], slot, 1)
 
 
 def direction(MR, MP, r_flat):

@@ -199,8 +199,9 @@ def run_supermann(
         y_flat = _ravel_pair(sub(rz, c.rz_prev), sub(rv, c.rv_prev))
         s_flat = _ravel_pair(c.dz_prev, c.dv_prev)
         if opts.direction == "anderson":
-            MR = anderson.push(c.dirstate[0], y_flat)
-            MP = anderson.push(c.dirstate[1], s_flat - y_flat)
+            slot = jnp.mod(c.it, opts.aa_window)
+            MR = anderson.write_slot(c.dirstate[0], y_flat, slot)
+            MP = anderson.write_slot(c.dirstate[1], s_flat - y_flat, slot)
             d_flat = anderson.direction(MR, MP, r_flat)
             dirstate = (MR, MP)
         elif opts.direction == "broyden":
@@ -310,15 +311,10 @@ def run_supermann(
             rv_prev=bwhere(active, rv, c.rv_prev),
             dz_prev=bwhere(active, dz_iter, c.dz_prev),
             dv_prev=bwhere(active, dv_iter, c.dv_prev),
-            dirstate=tmap(
-                lambda n, o: jnp.where(
-                    active.reshape((B,) + (1,) * (n.ndim - 1)), n, o
-                )
-                if n.ndim >= 1 and n.shape[:1] == (B,)
-                else n,
-                dirstate,
-                c.dirstate,
-            ),
+            # NOTE: dirstate deliberately NOT lane-masked — finished lanes'
+            # iterates are frozen elsewhere, their direction is never applied,
+            # and masking would cost a full pass over the [B, m, K] history.
+            dirstate=dirstate,
             r_safe=jnp.where(active, bt.r_safe, c.r_safe),
             eta=jnp.where(active, eta_new, c.eta),
             res0=jnp.where(active[:, None], res0, c.res0),

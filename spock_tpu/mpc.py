@@ -77,7 +77,7 @@ def simulate(
             res = cp_alg.run_cp(
                 data, meta, x, z, v, tol=tol, max_iter=max_iter
             )
-        u0 = res.z.u[:, 0, :]  # root input
+        u0 = res.z.u[:, :, 0]  # root input (u is [B, nu, n_nonleaf])
         # plant update x+ = A[w] x + B[w] u
         Aw = data.A[w]  # [B, nx, nx]
         Bw = data.B[w]

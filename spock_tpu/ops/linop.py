@@ -2,14 +2,15 @@
 
 Re-derivation of ``L!`` / ``L_transpose!``
 (``/root/reference/src/model_dynamics/implicit_l.jl:177-449``) for the
-stage-major uniform tree layout:
+feature-major, stage-major uniform tree layout (node axis LAST — see
+:mod:`spock_tpu.zv` for the layout rationale):
 
-* "parent -> children" broadcast is ``x[:n_nonleaf]`` repeated d times along a
-  new sibling axis and flattened — no gather;
-* "children -> parent" reduction is a reshape to [n_nonleaf, d, ...] and a sum
-  over the sibling axis — no scatter;
-* per-node matrix applications are einsums that broadcast a size-1 node dim
-  for uniform problem data.
+* "parent -> children" broadcast replicates the last (node) axis d times —
+  a broadcast+reshape, no gather;
+* "children -> parent" reduction reshapes the node axis to [n_nonleaf, d]
+  and sums the sibling axis — no scatter;
+* per-node matrix applications contract the small feature (sublane) axis —
+  einsums that broadcast a size-1 node dim for uniform problem data.
 
 Everything accepts arbitrary leading batch dims.
 """
@@ -25,59 +26,42 @@ from ..zv import Dual, Primal, vdot
 
 
 # ---------------------------------------------------------------------------
-# layout helpers
+# layout helpers (node axis is always last)
 # ---------------------------------------------------------------------------
 
 
 def nmul(M, x):
-    """Apply per-node matrices: M [K, a, b] (K in {1, n}), x [..., n, b] -> [..., n, a]."""
+    """Apply per-node matrices: M [K, a, b] (K in {1, n}), x [..., b, n] -> [..., a, n]."""
     if M.shape[0] == 1:
-        return jnp.einsum("ab,...nb->...na", M[0], x)
-    return jnp.einsum("nab,...nb->...na", M, x)
+        return jnp.einsum("ab,...bn->...an", M[0], x)
+    return jnp.einsum("nab,...bn->...an", M, x)
 
 
 def nmul_t(M, x):
-    """Adjoint application: M [K, a, b], x [..., n, a] -> [..., n, b]."""
+    """Adjoint application: M [K, a, b], x [..., a, n] -> [..., b, n]."""
     if M.shape[0] == 1:
-        return jnp.einsum("ab,...na->...nb", M[0], x)
-    return jnp.einsum("nab,...na->...nb", M, x)
+        return jnp.einsum("ab,...an->...bn", M[0], x)
+    return jnp.einsum("nab,...an->...bn", M, x)
 
 
-def _rep_children(a, d: int, event_rank: int):
-    """Replicate along a new sibling axis placed after the node axis.
-
-    a: [..., n_nl, E...] with `event_rank` trailing event dims after the node
-    axis; returns [..., n_nl * d, E...].
-    """
-    node_ax = a.ndim - event_rank - 1
-    expanded = jnp.expand_dims(a, node_ax + 1)
-    tiled = jnp.broadcast_to(
-        expanded,
-        a.shape[: node_ax + 1] + (d,) + a.shape[node_ax + 1 :],
-    )
-    return tiled.reshape(
-        a.shape[:node_ax] + (a.shape[node_ax] * d,) + a.shape[node_ax + 1 :]
-    )
+def rep_children(a, d: int):
+    """[..., n_nonleaf] -> [..., n_nonleaf * d]: each parent's value replicated
+    to its (contiguous) children along the node axis."""
+    expanded = jnp.broadcast_to(a[..., None], a.shape + (d,))
+    return expanded.reshape(a.shape[:-1] + (a.shape[-1] * d,))
 
 
-def _sum_children(a, d: int, event_rank: int):
-    """Inverse-adjoint of :func:`_rep_children`: sum contiguous sibling groups.
-
-    a: [..., n_nl * d, E...] -> [..., n_nl, E...].
-    """
-    node_ax = a.ndim - event_rank - 1
-    n = a.shape[node_ax]
-    reshaped = a.reshape(
-        a.shape[:node_ax] + (n // d, d) + a.shape[node_ax + 1 :]
-    )
-    return reshaped.sum(axis=node_ax + 1)
+def sum_children(a, d: int):
+    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups."""
+    n = a.shape[-1]
+    return a.reshape(a.shape[:-1] + (n // d, d)).sum(axis=-1)
 
 
 def bdot(b, y):
-    """b [K, ny] (K in {1, n}), y [..., n, ny] -> [..., n]."""
+    """b [K, ny] (K in {1, n}), y [..., ny, n] -> [..., n]."""
     if b.shape[0] == 1:
-        return jnp.einsum("y,...ny->...n", b[0], y)
-    return jnp.einsum("ny,...ny->...n", b, y)
+        return jnp.einsum("y,...yn->...n", b[0], y)
+    return jnp.einsum("ny,...yn->...n", b, y)
 
 
 # ---------------------------------------------------------------------------
@@ -90,22 +74,22 @@ def apply_L(data: ProblemData, meta: ProblemMeta, z: Primal) -> Dual:
     t = meta.tree
     n_nl, ls, d = t.n_nonleaf, t.leaf_start, t.d
 
-    x_nl = z.x[..., :n_nl, :]
-    x_leaf = z.x[..., ls:, :]
-    x_par = _rep_children(x_nl, d, 1)  # [..., n-1, nx]
-    u_par = _rep_children(z.u, d, 1)  # [..., n-1, nu]
+    x_nl = z.x[..., :n_nl]
+    x_leaf = z.x[..., ls:]
+    x_par = rep_children(x_nl, d)  # [..., nx, n-1]
+    u_par = rep_children(z.u, d)  # [..., nu, n-1]
 
     half_tau = 0.5 * z.tau
     half_s_leaf = 0.5 * z.s[..., ls:]
 
     if meta.nc_nl > 0:
-        pnl = jnp.einsum("cx,...nx->...nc", data.Gx, x_nl) + jnp.einsum(
-            "cu,...nu->...nc", data.Gu, z.u
+        pnl = jnp.einsum("cx,...xn->...cn", data.Gx, x_nl) + jnp.einsum(
+            "cu,...un->...cn", data.Gu, z.u
         )
     else:
         pnl = None
     if meta.nc_lf > 0:
-        plf = jnp.einsum("cx,...nx->...nc", data.GxN, x_leaf)
+        plf = jnp.einsum("cx,...xn->...cn", data.GxN, x_leaf)
     else:
         plf = None
 
@@ -132,24 +116,24 @@ def apply_LT(data: ProblemData, meta: ProblemMeta, v: Dual) -> Primal:
     t = meta.tree
     d, ls = t.d, t.leaf_start
 
-    x_nl = v.cx + _sum_children(nmul_t(data.sqrtQ, v.qx), d, 1)
+    x_nl = v.cx + sum_children(nmul_t(data.sqrtQ, v.qx), d)
     x_leaf = v.cxN + nmul_t(data.sqrtQN, v.qNx)
-    u = v.cu + _sum_children(nmul_t(data.sqrtR, v.ru), d, 1)
+    u = v.cu + sum_children(nmul_t(data.sqrtR, v.ru), d)
 
     if v.pnl is not None:
-        x_nl = x_nl + jnp.einsum("cx,...nc->...nx", data.Gx, v.pnl)
-        u = u + jnp.einsum("cu,...nc->...nu", data.Gu, v.pnl)
+        x_nl = x_nl + jnp.einsum("cx,...cn->...xn", data.Gx, v.pnl)
+        u = u + jnp.einsum("cu,...cn->...un", data.Gu, v.pnl)
     if v.plf is not None:
-        x_leaf = x_leaf + jnp.einsum("cx,...nc->...nx", data.GxN, v.plf)
+        x_leaf = x_leaf + jnp.einsum("cx,...cn->...xn", data.GxN, v.plf)
 
     if data.b.shape[0] == 1:
-        y = v.y - v.sby[..., None] * data.b[0]
+        y = v.y - data.b[0][:, None] * v.sby[..., None, :]
     else:
-        y = v.y - v.sby[..., None] * data.b
+        y = v.y - jnp.swapaxes(data.b, -1, -2) * v.sby[..., None, :]
 
     s = jnp.concatenate([v.sby, 0.5 * (v.s12 + v.s13)], axis=-1)
     return Primal(
-        x=jnp.concatenate([x_nl, x_leaf], axis=-2),
+        x=jnp.concatenate([x_nl, x_leaf], axis=-1),
         u=u,
         s=s,
         tau=0.5 * (v.t5 + v.t6),
@@ -201,11 +185,11 @@ def estimate_L_sq(
         return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
 
     z = Primal(
-        x=rnd((t.n, meta.nx)),
-        u=rnd((t.n_nonleaf, meta.nu)),
+        x=rnd((meta.nx, t.n)),
+        u=rnd((meta.nu, t.n_nonleaf)),
         s=rnd((t.n,)),
         tau=rnd((t.n - 1,)),
-        y=rnd((t.n_nonleaf, meta.ny)),
+        y=rnd((meta.ny, t.n_nonleaf)),
     )
 
     @jax.jit

@@ -30,18 +30,23 @@ def project_risk_kernel(data: ProblemData, meta: ProblemMeta, s_rest, tau, y):
     (cf. ``projection_S2!``, ``implicit_l.jl:688-727``).
 
     s_rest: [..., n-1] (= s over non-root nodes), tau: [..., n-1],
-    y: [..., n_nonleaf, ny].  Children of non-leaf i occupy the contiguous
-    slice [d*i, d*i+d) of the non-root arrays, so the gather is a reshape.
+    y: [..., ny, n_nonleaf].  Children of non-leaf i occupy the contiguous
+    slice [d*i, d*i+d) of the non-root arrays, so the gather is a reshape
+    plus a (tiny) sibling transpose into the feature axis.
     """
     t = meta.tree
     d, n_nl = t.d, t.n_nonleaf
-    sg = s_rest.reshape(s_rest.shape[:-1] + (n_nl, d))
-    tg = tau.reshape(tau.shape[:-1] + (n_nl, d))
-    vec = jnp.concatenate([y, sg, tg], axis=-1)  # [..., n_nl, ny + 2d]
+    # [..., n-1] -> [..., n_nl, d] -> [..., d, n_nl] (sibling index becomes a
+    # feature dim so the projector contracts over features, nodes stay last)
+    sg = jnp.swapaxes(s_rest.reshape(s_rest.shape[:-1] + (n_nl, d)), -1, -2)
+    tg = jnp.swapaxes(tau.reshape(tau.shape[:-1] + (n_nl, d)), -1, -2)
+    vec = jnp.concatenate([y, sg, tg], axis=-2)  # [..., ny + 2d, n_nl]
     out = nmul(data.ker_proj, vec)
-    y_p = out[..., : meta.ny]
-    s_p = out[..., meta.ny : meta.ny + d].reshape(s_rest.shape)
-    t_p = out[..., meta.ny + d :].reshape(tau.shape)
+    y_p = out[..., : meta.ny, :]
+    s_p = jnp.swapaxes(out[..., meta.ny : meta.ny + d, :], -1, -2).reshape(
+        s_rest.shape
+    )
+    t_p = jnp.swapaxes(out[..., meta.ny + d :, :], -1, -2).reshape(tau.shape)
     return s_p, t_p, y_p
 
 
@@ -66,24 +71,25 @@ def _project_S3(data: ProblemData, meta: ProblemMeta, w: Dual) -> Dual:
     SOC vectors are ordered (t, x) per the MOI convention the reference
     depends on (``implicit_l.jl:765-767``).
     """
-    # --- non-root stage-cost SOCs: (t6, qx, ru, t5) per non-root node ---
+    # --- non-root stage-cost SOCs: (t6, qx, ru, t5) per non-root node,
+    #     stacked along the feature axis (-2) ---
     nl_vec = jnp.concatenate(
-        [w.t6[..., None], w.qx, w.ru, w.t5[..., None]], axis=-1
+        [w.t6[..., None, :], w.qx, w.ru, w.t5[..., None, :]], axis=-2
     )
     nl_p = project_soc(nl_vec)
-    t6 = nl_p[..., 0]
-    qx = nl_p[..., 1 : 1 + meta.nx]
-    ru = nl_p[..., 1 + meta.nx : 1 + meta.nx + meta.nu]
-    t5 = nl_p[..., -1]
+    t6 = nl_p[..., 0, :]
+    qx = nl_p[..., 1 : 1 + meta.nx, :]
+    ru = nl_p[..., 1 + meta.nx : 1 + meta.nx + meta.nu, :]
+    t5 = nl_p[..., -1, :]
 
     # --- leaf terminal-cost SOCs: (s13, qNx, s12) per leaf node ---
     leaf_vec = jnp.concatenate(
-        [w.s13[..., None], w.qNx, w.s12[..., None]], axis=-1
+        [w.s13[..., None, :], w.qNx, w.s12[..., None, :]], axis=-2
     )
     leaf_p = project_soc(leaf_vec)
-    s13 = leaf_p[..., 0]
-    qNx = leaf_p[..., 1 : 1 + meta.nx]
-    s12 = leaf_p[..., -1]
+    s13 = leaf_p[..., 0, :]
+    qNx = leaf_p[..., 1 : 1 + meta.nx, :]
+    s12 = leaf_p[..., -1, :]
 
     return Dual(
         # y-block: project onto K* (dual of the risk cone), per non-leaf node

@@ -35,11 +35,11 @@ def zero_primal(meta: ProblemMeta, batch: tuple = (), dtype=jnp.float32) -> Prim
     t = meta.tree
     z = lambda *s: jnp.zeros(batch + s, dtype)
     return Primal(
-        x=z(t.n, meta.nx),
-        u=z(t.n_nonleaf, meta.nu),
+        x=z(meta.nx, t.n),
+        u=z(meta.nu, t.n_nonleaf),
         s=z(t.n),
         tau=z(t.n - 1),
-        y=z(t.n_nonleaf, meta.ny),
+        y=z(meta.ny, t.n_nonleaf),
     )
 
 
@@ -47,20 +47,20 @@ def zero_dual(meta: ProblemMeta, batch: tuple = (), dtype=jnp.float32) -> Dual:
     t = meta.tree
     z = lambda *s: jnp.zeros(batch + s, dtype)
     return Dual(
-        y=z(t.n_nonleaf, meta.ny),
+        y=z(meta.ny, t.n_nonleaf),
         sby=z(t.n_nonleaf),
-        qx=z(t.n - 1, meta.nx),
-        ru=z(t.n - 1, meta.nu),
+        qx=z(meta.nx, t.n - 1),
+        ru=z(meta.nu, t.n - 1),
         t5=z(t.n - 1),
         t6=z(t.n - 1),
-        cx=z(t.n_nonleaf, meta.nx),
-        cu=z(t.n_nonleaf, meta.nu),
-        qNx=z(t.n_leaf, meta.nx),
+        cx=z(meta.nx, t.n_nonleaf),
+        cu=z(meta.nu, t.n_nonleaf),
+        qNx=z(meta.nx, t.n_leaf),
         s12=z(t.n_leaf),
         s13=z(t.n_leaf),
-        cxN=z(t.n_leaf, meta.nx),
-        pnl=z(t.n_nonleaf, meta.nc_nl) if meta.nc_nl > 0 else None,
-        plf=z(t.n_leaf, meta.nc_lf) if meta.nc_lf > 0 else None,
+        cxN=z(meta.nx, t.n_leaf),
+        pnl=z(meta.nc_nl, t.n_nonleaf) if meta.nc_nl > 0 else None,
+        plf=z(meta.nc_lf, t.n_leaf) if meta.nc_lf > 0 else None,
     )
 
 

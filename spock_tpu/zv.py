@@ -32,13 +32,17 @@ def _register(cls):
 class Primal:
     """Primal iterate z = (x, u, s, tau, y).
 
-    Shapes (event part):
-      x:   [n, nx]          — state at every node.
-      u:   [n_nonleaf, nu]  — input at every non-leaf node.
+    Shapes (event part) — FEATURE-MAJOR: the node axis is always LAST so the
+    (large, power-of-two-able) node dimension sits in the TPU lane dimension;
+    feature dims (nx ~ 2..50) sit in sublanes.  Node-major layouts would pad
+    the minor feature dim to 128 lanes — a ~6x memory/bandwidth tax.
+
+      x:   [nx, n]          — state at every node.
+      u:   [nu, n_nonleaf]  — input at every non-leaf node.
       s:   [n]              — epigraph variable per node (s[0] is the objective).
       tau: [n - 1]          — stage-cost epigraph per non-root node; tau[j-1]
                               belongs to node j.
-      y:   [n_nonleaf, ny]  — risk dual per non-leaf node.
+      y:   [ny, n_nonleaf]  — risk dual per non-leaf node.
 
     Mirrors the reference's z layout ``[x; u; s; tau; y]``
     (``implicit_l.jl:106-158``).
@@ -56,19 +60,20 @@ class Primal:
 class Dual:
     """Dual iterate v, one field per block of the implicit operator L.
 
-    Shapes (event part) and the forward map v = L z (cf. ``implicit_l.jl:177-318``):
-      y:    [n_nonleaf, ny] — copy of z.y                        (ref. v1)
+    Shapes (event part, feature-major — node axis last) and the forward map
+    v = L z (cf. ``implicit_l.jl:177-318``):
+      y:    [ny, n_nonleaf] — copy of z.y                        (ref. v1)
       sby:  [n_nonleaf]     — s_i - b_i' y_i                     (ref. v2)
-      qx:   [n - 1, nx]     — sqrtQ_j @ x_{parent(j)}            (ref. v3)
-      ru:   [n - 1, nu]     — sqrtR_j @ u_{parent(j)}            (ref. v4)
+      qx:   [nx, n - 1]     — sqrtQ_j @ x_{parent(j)}            (ref. v3)
+      ru:   [nu, n - 1]     — sqrtR_j @ u_{parent(j)}            (ref. v4)
       t5:   [n - 1]         — tau_j / 2                          (ref. v5)
       t6:   [n - 1]         — tau_j / 2                          (ref. v6)
-      cx:   [n_nonleaf, nx] — x_i (non-leaf box-constraint copy) (ref. v7, x part)
-      cu:   [n_nonleaf, nu] — u_i (non-leaf box-constraint copy) (ref. v7, u part)
-      qNx:  [n_leaf, nx]    — sqrtQN_i @ x_i (leaves)            (ref. v11)
+      cx:   [nx, n_nonleaf] — x_i (non-leaf box-constraint copy) (ref. v7, x part)
+      cu:   [nu, n_nonleaf] — u_i (non-leaf box-constraint copy) (ref. v7, u part)
+      qNx:  [nx, n_leaf]    — sqrtQN_i @ x_i (leaves)            (ref. v11)
       s12:  [n_leaf]        — s_i / 2 (leaves)                   (ref. v12)
       s13:  [n_leaf]        — s_i / 2 (leaves)                   (ref. v13)
-      cxN:  [n_leaf, nx]    — x_i (leaf box-constraint copy)     (ref. v14)
+      cxN:  [nx, n_leaf]    — x_i (leaf box-constraint copy)     (ref. v14)
 
     The reference interleaves v7 as ((x_i, u_i))_i in one flat block
     (``constraints.jl:111-128``); keeping (cx, cu) separate is equivalent up
@@ -89,8 +94,8 @@ class Dual:
     cxN: Any
     # Optional polytopic constraint blocks (no reference counterpart — the
     # reference only supports boxes).  None when the problem has no polytope.
-    #   pnl: [n_nonleaf, nc]  = Gx x_i + Gu u_i, constrained to [lo, hi]
-    #   plf: [n_leaf, ncN]    = GxN x_i, constrained to [loN, hiN]
+    #   pnl: [nc, n_nonleaf]  = Gx x_i + Gu u_i, constrained to [lo, hi]
+    #   plf: [ncN, n_leaf]    = GxN x_i, constrained to [loN, hiN]
     pnl: Any = None
     plf: Any = None
 

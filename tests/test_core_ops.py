@@ -18,11 +18,11 @@ def rand_primal(rng, meta, batch=()):
     t = meta.tree
     r = lambda *s: jnp.asarray(rng.standard_normal(batch + s))
     return zv.Primal(
-        x=r(t.n, meta.nx),
-        u=r(t.n_nonleaf, meta.nu),
+        x=r(meta.nx, t.n),
+        u=r(meta.nu, t.n_nonleaf),
         s=r(t.n),
         tau=r(t.n - 1),
-        y=r(t.n_nonleaf, meta.ny),
+        y=r(meta.ny, t.n_nonleaf),
     )
 
 
@@ -30,18 +30,18 @@ def rand_dual(rng, meta, batch=()):
     t = meta.tree
     r = lambda *s: jnp.asarray(rng.standard_normal(batch + s))
     return zv.Dual(
-        y=r(t.n_nonleaf, meta.ny),
+        y=r(meta.ny, t.n_nonleaf),
         sby=r(t.n_nonleaf),
-        qx=r(t.n - 1, meta.nx),
-        ru=r(t.n - 1, meta.nu),
+        qx=r(meta.nx, t.n - 1),
+        ru=r(meta.nu, t.n - 1),
         t5=r(t.n - 1),
         t6=r(t.n - 1),
-        cx=r(t.n_nonleaf, meta.nx),
-        cu=r(t.n_nonleaf, meta.nu),
-        qNx=r(t.n_leaf, meta.nx),
+        cx=r(meta.nx, t.n_nonleaf),
+        cu=r(meta.nu, t.n_nonleaf),
+        qNx=r(meta.nx, t.n_leaf),
         s12=r(t.n_leaf),
         s13=r(t.n_leaf),
-        cxN=r(t.n_leaf, meta.nx),
+        cxN=r(meta.nx, t.n_leaf),
     )
 
 
@@ -150,14 +150,14 @@ def test_projection_S1_exact_dynamics(built):
     from spock_tpu.ops.riccati import project_dynamics
 
     xp, up = project_dynamics(data, meta, z.x, z.u, x0)
-    np.testing.assert_allclose(xp[0], x0, atol=1e-12)
+    np.testing.assert_allclose(xp[:, 0], x0, atol=1e-12)
     A, B = np.asarray(data.A), np.asarray(data.B)
     xp, up = np.asarray(xp), np.asarray(up)
     for j in range(1, t.n):
         i = t.parent(j)
         w = t.w(j)
         np.testing.assert_allclose(
-            xp[j], A[w] @ xp[i] + B[w] @ up[i], atol=1e-8
+            xp[:, j], A[w] @ xp[:, i] + B[w] @ up[:, i], atol=1e-8
         )
 
 
@@ -203,9 +203,9 @@ def test_projection_S2_properties(built):
         Fi = F[0] if F.shape[0] == 1 else F[i]
         kids = [j - 1 for j in t.children(i)]  # non-root index
         np.testing.assert_allclose(
-            Ei.T @ y_np[i], tau_np[kids] + s_np[kids], atol=1e-8
+            Ei.T @ y_np[:, i], tau_np[kids] + s_np[kids], atol=1e-8
         )
-        np.testing.assert_allclose(Fi.T @ y_np[i], 0.0, atol=1e-8)
+        np.testing.assert_allclose(Fi.T @ y_np[:, i], 0.0, atol=1e-8)
 
 
 def test_batched_consistency(built):

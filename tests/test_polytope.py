@@ -39,17 +39,17 @@ def test_polytope_feasible_and_matches_oracle():
 
     x, u = np.asarray(res.z.x), np.asarray(res.z.u)
     t = meta.tree
-    # feasibility of the polytope rows (to solver tolerance)
+    # feasibility of the polytope rows (to solver tolerance); x is [nx, n]
     for i in range(t.n_nonleaf):
-        g = spec.polytope.Gx @ x[i] + spec.polytope.Gu @ u[i]
+        g = spec.polytope.Gx @ x[:, i] + spec.polytope.Gu @ u[:, i]
         assert np.all(g <= spec.polytope.hi + 1e-4)
         assert np.all(g >= spec.polytope.lo - 1e-4)
     for k in range(t.n_leaf):
-        g = spec.polytope.GxN @ x[t.leaf_start + k]
+        g = spec.polytope.GxN @ x[:, t.leaf_start + k]
         assert np.all(np.abs(g) <= 1.0 + 1e-4)
 
     ora = scipy_ref.solve(spec, x0=x0)
-    np.testing.assert_allclose(np.asarray(res.z.u)[0], ora["u"][0], atol=3e-4)
+    np.testing.assert_allclose(np.asarray(res.z.u)[:, 0], ora["u"][0], atol=3e-4)
     np.testing.assert_allclose(float(res.z.s[0]), ora["objective"], atol=3e-4)
 
 

@@ -25,7 +25,7 @@ def _check(spec, x0, tol_sol=3e-4):
     assert bool(res.converged)
     ora = scipy_ref.solve(spec, x0=x0)
     np.testing.assert_allclose(
-        np.asarray(res.z.u)[0], ora["u"][0], atol=tol_sol
+        np.asarray(res.z.u)[:, 0], ora["u"][0], atol=tol_sol
     )
     np.testing.assert_allclose(
         float(res.z.s[0]), ora["objective"], atol=tol_sol

@@ -37,10 +37,12 @@ def test_solution_structure(car_built, algorithm):
     x, u = np.asarray(res.z.x), np.asarray(res.z.u)
     A, B = np.asarray(data.A), np.asarray(data.B)
 
-    # dynamics hold exactly at every node
+    # dynamics hold exactly at every node (x is [nx, n] feature-major)
     for j in range(1, t.n):
         i, w = t.parent(j), t.w(j)
-        np.testing.assert_allclose(x[j], A[w] @ x[i] + B[w] @ u[i], atol=1e-10)
+        np.testing.assert_allclose(
+            x[:, j], A[w] @ x[:, i] + B[w] @ u[:, i], atol=1e-10
+        )
 
     # E' y = tau_child + s_child holds exactly
     E = np.asarray(data.E)
@@ -49,7 +51,7 @@ def test_solution_structure(car_built, algorithm):
         Ei = E[0] if E.shape[0] == 1 else E[i]
         kids = list(t.children(i))
         rhs = np.array([tau[j - 1] + s[j] for j in kids])
-        np.testing.assert_allclose(Ei.T @ y[i], rhs, atol=1e-10)
+        np.testing.assert_allclose(Ei.T @ y[:, i], rhs, atol=1e-10)
 
 
 @pytest.mark.parametrize("algorithm", ["cp", "spock"])
@@ -60,7 +62,7 @@ def test_matches_oracle(car_built, car_oracle, algorithm):
     res = solver.solve(np.array([0.1, 0.1]), tol=1e-6)
     assert bool(res.converged)
     np.testing.assert_allclose(
-        np.asarray(res.z.u)[0], car_oracle["u"][0], atol=2e-4
+        np.asarray(res.z.u)[:, 0], car_oracle["u"][0], atol=2e-4
     )
     np.testing.assert_allclose(
         float(res.z.s[0]), car_oracle["objective"], atol=2e-4
@@ -121,7 +123,7 @@ def test_server_heat_oracle_parity():
     ora = scipy_ref.solve(spec, x0=x0)
     res = Solver(data, meta, algorithm="spock").solve(x0, tol=1e-6)
     assert bool(res.converged)
-    np.testing.assert_allclose(np.asarray(res.z.u)[0], ora["u"][0], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.z.u)[:, 0], ora["u"][0], atol=2e-4)
     np.testing.assert_allclose(
         float(res.z.s[0]), ora["objective"], atol=2e-4
     )
