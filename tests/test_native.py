@@ -1,0 +1,48 @@
+"""Native C++ CPU solver: parity with the JAX engine and the scipy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spock_tpu import build
+from spock_tpu.baselines.native import NativeSolver
+from spock_tpu.models import car, server_heat
+from spock_tpu.solver import Solver
+
+
+@pytest.mark.parametrize("model", ["car", "server_heat"])
+def test_native_matches_jax(model):
+    if model == "car":
+        spec = car.make_spec(N=3, d=2)
+        x0 = np.array([0.1, 0.1])
+    else:
+        spec = server_heat.make_spec(N=4, nx=4, d=2)
+        x0 = np.array([0.4, -0.3, 0.5, 0.2])
+
+    nat = NativeSolver(spec)
+    res_n = nat.solve(x0, tol=1e-6, max_iter=20000)
+    assert res_n["converged"]
+
+    data, meta = build(spec, dtype=jnp.float64)
+    res_j = Solver(data, meta, algorithm="cp", max_iter=20000).solve(
+        x0, tol=1e-6
+    )
+    assert bool(res_j.converged)
+    np.testing.assert_allclose(
+        res_n["u"][0], np.asarray(res_j.z.u)[:, 0], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        res_n["objective"], float(res_j.z.s[0]), atol=2e-4
+    )
+    # L_sq estimates agree
+    np.testing.assert_allclose(nat.L_sq, float(data.L_sq), rtol=0.05)
+
+
+def test_native_warm_start():
+    spec = car.make_spec(N=3, d=2)
+    nat = NativeSolver(spec)
+    r1 = nat.solve(np.array([0.1, 0.1]), tol=1e-4)
+    r2 = nat.solve(np.array([0.11, 0.1]), tol=1e-4)  # warm from r1
+    nat2 = NativeSolver(spec)
+    r2_cold = nat2.solve(np.array([0.11, 0.1]), tol=1e-4)
+    assert r2["iterations"] <= r2_cold["iterations"]
