@@ -28,7 +28,14 @@ from ..tree import UniformTree
 
 def solve(spec: Spec, x0, tol: float = 1e-10, maxiter: int = 2000):
     """Returns dict with x [n, nx], u [n_nonleaf, nu], s [n], tau [n-1],
-    y [n_nonleaf, ny], objective value s[0]."""
+    y [n_nonleaf, ny], objective value s[0].
+
+    EVaR risks are solved via their direct smooth epigraph
+    (t log-sum-exp form) rather than exponential-cone duals — a genuinely
+    independent code path from the splitting solver's cone projections.
+    """
+    if spec.risk.kind == "evar":
+        return _solve_evar(spec, x0, tol=tol, maxiter=maxiter)
     t: UniformTree = spec.tree
     A = np.asarray(spec.dynamics.A, float)
     B = np.asarray(spec.dynamics.B, float)
@@ -223,4 +230,120 @@ def solve(spec: Spec, x0, tol: float = 1e-10, maxiter: int = 2000):
         "y": y,
         "objective": s[0],
         "scipy_result": res,
+    }
+
+
+def _solve_evar(spec: Spec, x0, tol: float = 1e-10, maxiter: int = 3000):
+    """EVaR oracle: per non-leaf node i, the nested risk epigraph is
+
+        EVaR_a(X_child) <= s_i
+        <=>  exists t_i > 0:  t_i * log sum_k p_k exp(X_k / t_i)
+                               - t_i * log(alpha) <= s_i,
+
+    with X_k = tau_child_k + s_child_k — jointly convex in (X, t_i)
+    (perspective of log-sum-exp).  Variables: [x, u, s, tau, t]."""
+    t: UniformTree = spec.tree
+    A = np.asarray(spec.dynamics.A, float)
+    B = np.asarray(spec.dynamics.B, float)
+    nx, nu = A.shape[-1], B.shape[-1]
+    n, n_nl, n_lf = t.n, t.n_nonleaf, t.n_leaf
+    p_vec = np.asarray(spec.risk.params[0], float)
+    alpha = float(spec.risk.params[1])
+    log_alpha = np.log(alpha)
+    x0 = np.asarray(x0, float)
+
+    def nodemat(M, i):
+        return M[0] if M.shape[0] == 1 else M[i]
+
+    Q, R, QN = (
+        np.asarray(spec.cost.Q, float),
+        np.asarray(spec.cost.R, float),
+        np.asarray(spec.cost.QN, float),
+    )
+
+    ox, ou = 0, n * nx
+    os_, ot = ou + n_nl * nu, ou + n_nl * nu + n
+    otv = ot + (n - 1)
+    nvar = otv + n_nl
+
+    def split(zf):
+        return (
+            zf[ox:ou].reshape(n, nx),
+            zf[ou:os_].reshape(n_nl, nu),
+            zf[os_:ot],
+            zf[ot:otv],
+            zf[otv:],
+        )
+
+    def eq_dyn(zf):
+        x, u, s, tau, tv = split(zf)
+        out = [x[0] - x0]
+        for j in range(1, n):
+            i, w = t.parent(j), t.w(j)
+            out.append(x[j] - A[w] @ x[i] - B[w] @ u[i])
+        return np.concatenate(out)
+
+    def ineq_cost(zf):
+        x, u, s, tau, tv = split(zf)
+        out = []
+        for j in range(1, n):
+            i = t.parent(j)
+            Qj, Rj = nodemat(Q, j - 1), nodemat(R, j - 1)
+            out.append(tau[j - 1] - x[i] @ Qj @ x[i] - u[i] @ Rj @ u[i])
+        for k in range(n_lf):
+            i = t.leaf_start + k
+            out.append(s[i] - x[i] @ nodemat(QN, k) @ x[i])
+        return np.array(out)
+
+    def ineq_evar(zf):
+        x, u, s, tau, tv = split(zf)
+        out = []
+        for i in range(n_nl):
+            ti = max(tv[i], 1e-8)
+            kids = list(t.children(i))
+            X = np.array([tau[j - 1] + s[j] for j in kids])
+            m = np.max(X / ti + np.log(p_vec))
+            lse = m + np.log(np.sum(np.exp(X / ti + np.log(p_vec) - m)))
+            out.append(s[i] - (ti * lse - ti * log_alpha))
+        return np.array(out)
+
+    lb = np.full(nvar, -np.inf)
+    ub = np.full(nvar, np.inf)
+    xminb = np.broadcast_to(np.asarray(spec.constraints.x_min, float), (nx,))
+    xmaxb = np.broadcast_to(np.asarray(spec.constraints.x_max, float), (nx,))
+    uminb = np.broadcast_to(np.asarray(spec.constraints.u_min, float), (nu,))
+    umaxb = np.broadcast_to(np.asarray(spec.constraints.u_max, float), (nu,))
+    for i in range(n):
+        lb[ox + i * nx : ox + (i + 1) * nx] = xminb
+        ub[ox + i * nx : ox + (i + 1) * nx] = xmaxb
+    for i in range(n_nl):
+        lb[ou + i * nu : ou + (i + 1) * nu] = uminb
+        ub[ou + i * nu : ou + (i + 1) * nu] = umaxb
+    lb[otv:] = 1e-6  # t_i > 0
+
+    z_init = np.zeros(nvar)
+    z_init[ox : ox + nx] = np.clip(x0, lb[ox : ox + nx], ub[ox : ox + nx])
+    z_init[otv:] = 1.0
+
+    obj_grad = np.zeros(nvar)
+    obj_grad[os_] = 1.0
+    res = optimize.minimize(
+        lambda zf: zf[os_],
+        z_init,
+        jac=lambda zf: obj_grad,
+        bounds=optimize.Bounds(lb, ub),
+        constraints=[
+            {"type": "eq", "fun": eq_dyn},
+            {"type": "ineq", "fun": ineq_cost},
+            {"type": "ineq", "fun": ineq_evar},
+        ],
+        method="SLSQP",
+        options={"maxiter": maxiter, "ftol": tol},
+    )
+    if not res.success:
+        raise RuntimeError(f"EVaR oracle failed: {res.message}")
+    x, u, s, tau, tv = split(res.x)
+    return {
+        "x": x, "u": u, "s": s, "tau": tau, "t": tv,
+        "objective": s[0], "scipy_result": res,
     }

@@ -48,44 +48,88 @@ def project_box(v, lo, hi):
     return jnp.clip(v, lo, hi)
 
 
-def _project_exp_cone(v):
-    """Projection onto the exponential cone K_exp = cl{(x,y,z): y>0,
-    y e^{x/y} <= z}; v: [..., 3, n].  (Extension beyond the reference —
-    used for EVaR.)  Bisection on the boundary parameterization."""
-    r, s, t = v[..., 0, :], v[..., 1, :], v[..., 2, :]
-    in_cone = ((s > 0) & (s * jnp.exp(r / jnp.where(s > 0, s, 1.0)) <= t)) | (
-        (r <= 0) & (jnp.abs(s) <= 1e-30) & (t >= 0)
-    )
-    neg_r, neg_s, neg_t = -r, -s, -t
-    in_polar = (
-        (neg_r > 0)
-        & (neg_t > 0)
-        & (neg_r * jnp.exp(neg_s / neg_r - 1.0) <= jnp.e * neg_t + 1e-30)
-    ) | ((neg_r <= 1e-30) & (neg_s <= 0) & (neg_t <= 0))
+def _exp_boundary_candidate(r, s, t):
+    """Best point on the parameterized boundary ruled surface
+    p(a, y) = (a*y, y, y*e^a), y >= 0: for each a the optimal y is closed
+    form; minimize over a by coarse grid + golden-section refinement.
+    Returns (x, y, z) arrays."""
 
-    lo = jnp.zeros_like(r) - 20.0
-    hi = jnp.zeros_like(r) + 20.0
-
-    def g(a):
+    def dist_at(a):
         ea = jnp.exp(a)
         y = (r * a + s + t * ea) / (1.0 + a * a + ea * ea)
-        y = jnp.maximum(y, 1e-12)
+        y = jnp.maximum(y, 0.0)
         x, z = a * y, y * ea
-        return (x - r) * y + (z - t) * y * ea
+        d = (x - r) ** 2 + (y - s) ** 2 + (z - t) ** 2
+        return d, (x, y, z)
 
-    for _ in range(40):
-        mid = 0.5 * (lo + hi)
-        gm = g(mid)
-        lo = jnp.where(gm < 0, mid, lo)
-        hi = jnp.where(gm >= 0, mid, hi)
-    a = 0.5 * (lo + hi)
-    ea = jnp.exp(a)
-    y = jnp.maximum((r * a + s + t * ea) / (1.0 + a * a + ea * ea), 0.0)
-    bp = jnp.stack([a * y, y, y * ea], axis=-2)
-
-    out = jnp.where(
-        in_cone[..., None, :], v, jnp.where(in_polar[..., None, :], 0.0, bp)
+    # coarse grid over a = x/y (denser near 0, covering +-30)
+    grid = jnp.concatenate(
+        [
+            -jnp.exp(jnp.linspace(jnp.log(30.0), -3.0, 24)),
+            jnp.linspace(-0.05, 0.05, 9),
+            jnp.exp(jnp.linspace(-3.0, jnp.log(30.0), 24)),
+        ]
     )
+    ds = jnp.stack([dist_at(a)[0] for a in grid], axis=0)  # [G, ...]
+    idx = jnp.argmin(ds, axis=0)
+    garr = jnp.asarray(grid, ds.dtype)
+    # golden-section refine in [grid[idx-1], grid[idx+1]]
+    lo = garr[jnp.clip(idx - 1, 0, garr.shape[0] - 1)]
+    hi = garr[jnp.clip(idx + 1, 0, garr.shape[0] - 1)]
+    phi = 0.6180339887498949
+    for _ in range(40):
+        m1 = hi - phi * (hi - lo)
+        m2 = lo + phi * (hi - lo)
+        d1, _ = dist_at(m1)
+        d2, _ = dist_at(m2)
+        lo = jnp.where(d1 < d2, lo, m1)
+        hi = jnp.where(d1 < d2, m2, hi)
+    a = 0.5 * (lo + hi)
+    _, (x, y, z) = dist_at(a)
+    return x, y, z
+
+
+def _project_exp_cone(v):
+    """Projection onto the exponential cone
+    K_exp = cl{(x,y,z): y > 0, y e^{x/y} <= z}; v: [..., 3, n].
+    (Extension beyond the reference — used for EVaR.)
+
+    Case analysis (cf. the standard splitting-solver treatment):
+      1. v in K_exp                      -> v
+      2. -v in K_exp* (v in polar cone)  -> 0
+      3. r <= 0 and s <= 0               -> face point (r, 0, max(t, 0))
+      4. otherwise                       -> boundary solve (grid + golden)
+    The boundary candidate and (where valid) the face candidate are compared
+    and the closer one wins, which also guards case-boundary roundoff.
+    """
+    r, s, t = v[..., 0, :], v[..., 1, :], v[..., 2, :]
+
+    safe_s = jnp.where(s > 0, s, 1.0)
+    in_cone = ((s > 0) & (safe_s * jnp.exp(r / safe_s) <= t)) | (
+        (s <= 0) & (s >= -0.0) & (r <= 0) & (t >= 0)
+    )
+    # polar: -v in K* = {(u,p,q): u<0, -u e^{p/u} <= e q} ∪ {0}x R+ x R+
+    safe_r = jnp.where(r > 0, r, 1.0)
+    in_polar = (
+        (r > 0) & (t <= 0) & (safe_r * jnp.exp(s / safe_r) <= -jnp.e * t)
+    ) | ((r <= 0) & (s <= 0) & (t <= 0) & (r >= -0.0) & False)
+
+    # face candidate (valid whenever it is the projection: r<=0, s<=0 region)
+    fx, fy, fz = r, jnp.zeros_like(s), jnp.maximum(t, 0.0)
+    face_valid = (r <= 0) & (s <= 0)
+    face_d = (fx - r) ** 2 + s**2 + (fz - t) ** 2
+
+    bx, by, bz = _exp_boundary_candidate(r, s, t)
+    bdry_d = (bx - r) ** 2 + (by - s) ** 2 + (bz - t) ** 2
+
+    use_face = face_valid & (face_d <= bdry_d)
+    px = jnp.where(use_face, fx, bx)
+    py = jnp.where(use_face, fy, by)
+    pz = jnp.where(use_face, fz, bz)
+
+    out = jnp.stack([px, py, pz], axis=-2)
+    out = jnp.where(in_polar[..., None, :], 0.0, out)
+    out = jnp.where(in_cone[..., None, :], v, out)
     return out
 
 

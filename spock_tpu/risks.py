@@ -60,12 +60,17 @@ class RiskSpec:
       F: [n_nonleaf, ny, nf] — equality-coupling matrix (``rms[i].F``).
       b: [n_nonleaf, ny] — support vector (``rms[i].b``).
       cone: product-cone spec of K (y must lie in K*, the dual).
+      kind/params: optional tag identifying a named risk family (used by the
+        scipy oracle to pick a direct smooth formulation, e.g. EVaR's
+        log-sum-exp epigraph instead of exponential-cone duals).
     """
 
     E: np.ndarray
     F: np.ndarray
     b: np.ndarray
     cone: ConeSpec
+    kind: str = "generic"
+    params: tuple = ()
 
     @property
     def ny(self) -> int:
@@ -151,6 +156,58 @@ def total_variation(p: np.ndarray, r: float, n_nonleaf: int) -> RiskSpec:
 def risk_neutral(p: np.ndarray, n_nonleaf: int) -> RiskSpec:
     """Risk-neutral expectation, encoded as AV@R with alpha = 1."""
     return avar(p, 1.0, n_nonleaf)
+
+
+def evar(p: np.ndarray, alpha: float, n_nonleaf: int) -> RiskSpec:
+    """Entropic value-at-risk (extension beyond the reference, which only
+    ships polyhedral AV@R/TV).
+
+    Dual representation: EVaR_alpha(X) = max{mu'X : KL(mu || p) <= -ln alpha},
+    a KL-ball ambiguity set, which is exponential-cone representable.  In the
+    framework's generic form  A = {mu : exists nu, b - E mu - F nu in K}:
+
+      rows 0..d-1 :  mu_k                in R+          (mu >= 0)
+      row  d      :  1 - 1'mu            in {0}         (sum to one)
+      row  d+1    :  r - 1'nu            in R+          (KL budget, r = -ln a)
+      rows d+2..  :  (-nu_k, mu_k, p_k)  in K_exp       (relative-entropy
+                     epigraph: mu_k ln(mu_k/p_k) <= nu_k), per k.
+
+    ny = 4d + 2, nf = d auxiliary variables nu.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    d = p.shape[0]
+    r = -float(np.log(alpha))
+    ny = 4 * d + 2
+    E = np.zeros((ny, d))
+    F = np.zeros((ny, d))
+    b = np.zeros(ny)
+    # mu >= 0
+    E[:d, :] = -np.eye(d)
+    # 1'mu = 1
+    E[d, :] = 1.0
+    b[d] = 1.0
+    # KL budget
+    F[d + 1, :] = 1.0
+    b[d + 1] = r
+    # exp-cone triplets
+    for k in range(d):
+        row = d + 2 + 3 * k
+        F[row, k] = 1.0  # x-component: -nu_k = b - F nu
+        E[row + 1, k] = -1.0  # y-component: mu_k
+        b[row + 2] = p[k]  # z-component: p_k
+    cone: ConeSpec = (
+        ("nonneg", d),
+        ("zero", 1),
+        ("nonneg", 1),
+    ) + tuple(("exp", 3) for _ in range(d))
+    return RiskSpec(
+        E=np.broadcast_to(E, (n_nonleaf,) + E.shape).copy(),
+        F=np.broadcast_to(F, (n_nonleaf,) + F.shape).copy(),
+        b=np.broadcast_to(b, (n_nonleaf,) + b.shape).copy(),
+        cone=cone,
+        kind="evar",
+        params=(tuple(p.tolist()), alpha),
+    )
 
 
 def rand_probvec(rng: np.random.Generator, d: int) -> np.ndarray:
