@@ -503,4 +503,205 @@ long spock_cpu_solve_cp(
   return -1 - it;
 }
 
+// Solve with SuperMann-globalized CP + window-3 Anderson acceleration —
+// the SPOCK algorithm (cf. sp.jl:358-469 and spock_tpu/algorithms/
+// supermann.py; real geometric backtracking, K0 disabled).
+long spock_cpu_solve_sp(
+    int N, int d, int nx, int nu, int ny, const double *A, const double *B,
+    const double *sqrtQ, const double *sqrtR, const double *sqrtQN,
+    const double *bvec, const double *ker, const double *Kfac,
+    const double *Rtinv, const double *ABK, const double *PB, double x_min,
+    double x_max, double u_min, double u_max, const int32_t *cone_kinds,
+    const int32_t *cone_dims, int n_cones, const double *x0, double gamma,
+    double sigma, double tol, long max_iter, double *z, double *v) {
+  Problem p;
+  p.N = N; p.d = d; p.nx = nx; p.nu = nu; p.ny = ny;
+  p.n = 1; { long pw = 1; for (int t = 1; t < N; ++t) { pw *= d; p.n += pw; } }
+  p.n_leaf = 1; for (int t = 1; t < N; ++t) p.n_leaf *= d;
+  p.n_nonleaf = p.n - p.n_leaf;
+  p.A = A; p.B = B; p.sqrtQ = sqrtQ; p.sqrtR = sqrtR; p.sqrtQN = sqrtQN;
+  p.bvec = bvec; p.ker = ker; p.K = Kfac; p.Rtinv = Rtinv; p.ABK = ABK;
+  p.PB = PB;
+  p.x_min = x_min; p.x_max = x_max; p.u_min = u_min; p.u_max = u_max;
+  p.cone_kinds = cone_kinds; p.cone_dims = cone_dims; p.n_cones = n_cones;
+
+  ZOff zo = zoff(p);
+  VOff vo = voff(p);
+  const long nz = zo.nz, nv = vo.nv, K = nz + nv;
+  Work wk;
+  wk.q.resize(p.n * nx);
+  wk.dvec.resize(p.n_nonleaf * nu);
+
+  const double c1 = 0.99, qpar = 0.99, sigma_k2 = 0.1, beta = 0.5;
+  const int MAXBT = 8;
+  const int M = 3;  // Anderson window
+
+  std::vector<double> zbar(nz), vbar(nv), rz(nz), rv(nv), rz_prev(nz, 0.0),
+      rv_prev(nv, 0.0), dzp(nz, 0.0), dvp(nv, 0.0), dz(nz), dv(nv), Mdz(nz),
+      Mdv(nv), w(nz), u(nv), wbar(nz), ubar(nv), rw(nz), ru(nv), tz(nz),
+      tv(nv), z_old(nz), v_old(nv), xi1(nz), xi2(nv);
+  std::vector<double> MR(M * K, 0.0), MP(M * K, 0.0);
+  double res0_1 = -1, res0_2 = -1, r_safe = 1e300, qpow = 1.0;
+
+  auto sweep = [&](const double *zz, const double *vv, double *zb,
+                   double *vb) {
+    apply_LT(p, vv, tz.data());
+    for (long k = 0; k < nz; ++k) zb[k] = zz[k] - gamma * tz[k];
+    prox_f(p, zb, gamma, x0, wk);
+    for (long k = 0; k < nz; ++k) tz[k] = 2 * zb[k] - zz[k];
+    apply_L(p, tz.data(), tv.data());
+    for (long k = 0; k < nv; ++k) vb[k] = vv[k] + sigma * tv[k];
+    prox_h_conj(p, vb, sigma, wk);
+  };
+  // (mzO, mvO) = M (az, av)
+  auto metric = [&](const double *az, const double *av, double *mz,
+                    double *mv) {
+    apply_LT(p, av, mz);
+    for (long k = 0; k < nz; ++k) mz[k] = az[k] - gamma * mz[k];
+    apply_L(p, az, mv);
+    for (long k = 0; k < nv; ++k) mv[k] = av[k] - sigma * mv[k];
+  };
+  auto dot2 = [&](const double *a1, const double *a2, const double *b1,
+                  const double *b2) {
+    double s = 0;
+    for (long k = 0; k < nz; ++k) s += a1[k] * b1[k];
+    for (long k = 0; k < nv; ++k) s += a2[k] * b2[k];
+    return s;
+  };
+
+  std::vector<double> mz(nz), mv(nv);
+  long it = 0;
+  for (; it < max_iter; ++it) {
+    std::memcpy(z_old.data(), z, sizeof(double) * nz);
+    std::memcpy(v_old.data(), v, sizeof(double) * nv);
+    sweep(z, v, zbar.data(), vbar.data());
+    for (long k = 0; k < nz; ++k) rz[k] = z[k] - zbar[k];
+    for (long k = 0; k < nv; ++k) rv[k] = v[k] - vbar[k];
+    metric(rz.data(), rv.data(), mz.data(), mv.data());
+    double rnorm = std::sqrt(
+        std::max(dot2(rz.data(), rv.data(), mz.data(), mv.data()), 0.0));
+
+    // Anderson ring update: row slot = it % M; MR = dr, MP = dz - dr
+    {
+      int slot = (int)(it % M);
+      double *mrow = MR.data() + (long)slot * K;
+      double *prow = MP.data() + (long)slot * K;
+      for (long k = 0; k < nz; ++k) {
+        double dr = rz[k] - rz_prev[k];
+        mrow[k] = dr;
+        prow[k] = dzp[k] - dr;
+      }
+      for (long k = 0; k < nv; ++k) {
+        double dr = rv[k] - rv_prev[k];
+        mrow[nz + k] = dr;
+        prow[nz + k] = dvp[k] - dr;
+      }
+    }
+    // normal equations
+    double G[M][M], c[M];
+    for (int i = 0; i < M; ++i) {
+      c[i] = 0;
+      const double *ri = MR.data() + (long)i * K;
+      for (long k = 0; k < nz; ++k) c[i] += ri[k] * rz[k];
+      for (long k = 0; k < nv; ++k) c[i] += ri[nz + k] * rv[k];
+      for (int j = i; j < M; ++j) {
+        const double *rj = MR.data() + (long)j * K;
+        double s = 0;
+        for (long k = 0; k < K; ++k) s += ri[k] * rj[k];
+        G[i][j] = G[j][i] = s;
+      }
+    }
+    double trace = G[0][0] + G[1][1] + G[2][2];
+    double eps = 1e-10 * trace / M + 1e-30;
+    for (int i = 0; i < M; ++i) G[i][i] += eps;
+    // solve 3x3 via Cramer-free Gaussian elimination
+    double gma[M];
+    {
+      double a[M][M + 1];
+      for (int i = 0; i < M; ++i) {
+        for (int j = 0; j < M; ++j) a[i][j] = G[i][j];
+        a[i][M] = c[i];
+      }
+      for (int col = 0; col < M; ++col) {
+        int piv = col;
+        for (int r2 = col + 1; r2 < M; ++r2)
+          if (std::fabs(a[r2][col]) > std::fabs(a[piv][col])) piv = r2;
+        std::swap(a[piv], a[col]);
+        double dgn = a[col][col];
+        if (std::fabs(dgn) < 1e-300) dgn = 1e-300;
+        for (int j = col; j <= M; ++j) a[col][j] /= dgn;
+        for (int r2 = 0; r2 < M; ++r2)
+          if (r2 != col) {
+            double f = a[r2][col];
+            for (int j = col; j <= M; ++j) a[r2][j] -= f * a[col][j];
+          }
+      }
+      for (int i = 0; i < M; ++i) gma[i] = a[i][M];
+    }
+    for (long k = 0; k < nz; ++k) dz[k] = -rz[k];
+    for (long k = 0; k < nv; ++k) dv[k] = -rv[k];
+    for (int i = 0; i < M; ++i) {
+      const double *prow = MP.data() + (long)i * K;
+      const double gi = gma[i];
+      for (long k = 0; k < nz; ++k) dz[k] -= gi * prow[k];
+      for (long k = 0; k < nv; ++k) dv[k] -= gi * prow[nz + k];
+    }
+    metric(dz.data(), dv.data(), Mdz.data(), Mdv.data());
+
+    // backtracking: fallback is plain CP (lambda = 1)
+    bool accepted = false;
+    double tau = 1.0;
+    for (int bt = 0; bt <= MAXBT && !accepted; ++bt) {
+      for (long k = 0; k < nz; ++k) w[k] = z[k] + tau * dz[k];
+      for (long k = 0; k < nv; ++k) u[k] = v[k] + tau * dv[k];
+      sweep(w.data(), u.data(), wbar.data(), ubar.data());
+      for (long k = 0; k < nz; ++k) rw[k] = w[k] - wbar[k];
+      for (long k = 0; k < nv; ++k) ru[k] = u[k] - ubar[k];
+      metric(rw.data(), ru.data(), mz.data(), mv.data());
+      double rt_sq =
+          std::max(dot2(rw.data(), ru.data(), mz.data(), mv.data()), 0.0);
+      double rtilde = std::sqrt(rt_sq);
+      double rho =
+          rt_sq - tau * dot2(rw.data(), ru.data(), Mdz.data(), Mdv.data());
+      if (rnorm <= r_safe && rtilde <= c1 * rnorm) {  // K1
+        std::memcpy(z, w.data(), sizeof(double) * nz);
+        std::memcpy(v, u.data(), sizeof(double) * nv);
+        r_safe = rtilde + qpow;
+        accepted = true;
+      } else if (rho >= sigma_k2 * rnorm * rtilde) {  // K2
+        double coef = rt_sq > 0 ? rho / rt_sq : 0.0;
+        for (long k = 0; k < nz; ++k) z[k] -= coef * rw[k];
+        for (long k = 0; k < nv; ++k) v[k] -= coef * ru[k];
+        accepted = true;
+      } else {
+        tau *= beta;
+      }
+    }
+    if (!accepted) {
+      std::memcpy(z, zbar.data(), sizeof(double) * nz);
+      std::memcpy(v, vbar.data(), sizeof(double) * nv);
+    }
+    qpow *= qpar;
+
+    // bookkeeping for the next iteration's secant pair
+    std::memcpy(rz_prev.data(), rz.data(), sizeof(double) * nz);
+    std::memcpy(rv_prev.data(), rv.data(), sizeof(double) * nv);
+    for (long k = 0; k < nz; ++k) dzp[k] = z[k] - z_old[k];
+    for (long k = 0; k < nv; ++k) dvp[k] = v[k] - v_old[k];
+
+    // termination
+    apply_LT(p, dvp.data(), xi1.data());
+    for (long k = 0; k < nz; ++k) xi1[k] -= dzp[k] / gamma;
+    apply_L(p, dzp.data(), xi2.data());
+    for (long k = 0; k < nv; ++k) xi2[k] -= dvp[k] / sigma;
+    double n1 = inf_norm(xi1.data(), nz), n2 = inf_norm(xi2.data(), nv);
+    bool conv = n1 <= std::max(tol * (res0_1 < 0 ? -1e300 : res0_1), tol) &&
+                n2 <= std::max(tol * (res0_2 < 0 ? -1e300 : res0_2), tol);
+    if (res0_1 < 0) res0_1 = n1;
+    if (res0_2 < 0) res0_2 = n2;
+    if (conv) return it + 1;
+  }
+  return -1 - it;
+}
+
 }  // extern "C"

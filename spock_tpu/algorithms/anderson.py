@@ -6,43 +6,66 @@ qnewton_directions/anderson.jl``): window-m history of residual differences
 
     d = -r - dP^T gamma,   gamma = argmin || dR^T gamma - r ||_2.
 
-Two deliberate departures from the reference, both TPU-motivated:
+TPU-motivated departures from the reference:
 
-* **Circular buffer, not shift.**  The reference shifts its history matrices
-  every iteration (newest first); on TPU that is a full read+write of the
-  [B, m, K] buffers (K = nz + nv).  The least-squares solve is invariant to
-  row order, so we overwrite one slot per iteration instead — O(K) instead
-  of O(mK) traffic.
-* **Normal equations, not incremental QR.**  The reference maintains an
-  approximate shifted QR via sequential Gram-Schmidt; with a small static
-  window the solve is a tiny m x m system per lane, which we form and solve
-  batched with Tikhonov regularization.  Accuracy differences are absorbed
-  by SuperMann's K1/K2 safeguards.
+* **History = tuple of m separate [B, K] rows** (not a [B, m, K] tensor and
+  not shifted): [B, m, K] puts m = 3 in the sublane dim (padded to 8) and
+  lowers the Gram computation to a degenerate batched matmul; separate rows
+  keep clean [B, K] layouts, the Gram/projection reductions fuse into single
+  passes, and the ring update rebinds one row instead of copying the buffer.
+  Row order is irrelevant to the least-squares solve.
+* **Normal equations, not incremental QR**: a tiny m x m system per lane
+  with Tikhonov regularization; accuracy differences are absorbed by
+  SuperMann's K1/K2 safeguards.
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-def write_slot(hist, col, slot):
-    """Overwrite ring slot ``slot`` (scalar int) with ``col`` [B, K]."""
-    return jax.lax.dynamic_update_slice_in_dim(hist, col[:, None, :], slot, 1)
+def init_rows(B: int, K: int, m: int, dtype) -> Tuple:
+    return tuple(jnp.zeros((B, K), dtype) for _ in range(m))
 
 
-def direction(MR, MP, r_flat):
-    """d_flat = -r - MP^T gamma with gamma from regularized normal equations.
+def write_slot(rows: Tuple, col, slot):
+    """Functionally replace ring slot ``slot`` (traced scalar) with ``col``."""
+    m = len(rows)
+    branches = [
+        (lambda i: lambda ops: ops[1][:i] + (ops[0],) + ops[1][i + 1 :])(i)
+        for i in range(m)
+    ]
+    return jax.lax.switch(slot, branches, (col, rows))
 
-    MR, MP: [B, m, K]; r_flat: [B, K].  Returns [B, K].
-    """
-    G = jnp.einsum("bmk,bnk->bmn", MR, MR)  # [B, m, m]
-    c = jnp.einsum("bmk,bk->bm", MR, r_flat)
-    m = G.shape[-1]
+
+def direction(MR: Tuple, MP: Tuple, r_flat):
+    """d_flat = -r - sum_i gamma_i MP_i with gamma from regularized normal
+    equations over the MR rows.  MR/MP: tuples of [B, K]; r_flat: [B, K]."""
+    m = len(MR)
+    dtype = r_flat.dtype
+    # Gram matrix + rhs — one fused pass over the rows
+    G = jnp.stack(
+        [
+            jnp.stack(
+                [jnp.sum(MR[i] * MR[j], axis=-1) for j in range(m)], axis=-1
+            )
+            for i in range(m)
+        ],
+        axis=-2,
+    )  # [B, m, m]
+    c = jnp.stack(
+        [jnp.sum(MR[i] * r_flat, axis=-1) for i in range(m)], axis=-1
+    )  # [B, m]
     tr = jnp.trace(G, axis1=-2, axis2=-1)
-    eps = jnp.asarray(1e-10, G.dtype) * (tr[:, None, None] / m) + jnp.asarray(
-        1e-30, G.dtype
+    eps = jnp.asarray(1e-10, dtype) * (tr[:, None, None] / m) + jnp.asarray(
+        1e-30, dtype
     )
-    Greg = G + eps * jnp.eye(m, dtype=G.dtype)
-    gamma = jnp.linalg.solve(Greg, c[..., None])[..., 0]
-    return -r_flat - jnp.einsum("bmk,bm->bk", MP, gamma)
+    Greg = G + eps * jnp.eye(m, dtype=dtype)
+    gamma = jnp.linalg.solve(Greg, c[..., None])[..., 0]  # [B, m]
+    d = -r_flat
+    for i in range(m):
+        d = d - gamma[:, i : i + 1] * MP[i]
+    return d

@@ -154,8 +154,8 @@ def run_supermann(
 
     if opts.direction == "anderson":
         dirstate0 = (
-            jnp.zeros((B, opts.aa_window, K), dtype),  # MR
-            jnp.zeros((B, opts.aa_window, K), dtype),  # MP
+            anderson.init_rows(B, K, opts.aa_window, dtype),  # MR rows
+            anderson.init_rows(B, K, opts.aa_window, dtype),  # MP rows
         )
     elif opts.direction == "broyden":
         dirstate0 = broyden.init(B, K, opts.broyden_mem, dtype)
@@ -203,7 +203,7 @@ def run_supermann(
             MR = anderson.write_slot(c.dirstate[0], y_flat, slot)
             MP = anderson.write_slot(c.dirstate[1], s_flat - y_flat, slot)
             d_flat = anderson.direction(MR, MP, r_flat)
-            dirstate = (MR, MP)
+            dirstate = (MR, MP)  # tuples of rows
         elif opts.direction == "broyden":
             Msz, Msv = metric_apply(
                 data, meta, c.dz_prev, c.dv_prev, gamma, sigma

@@ -39,8 +39,7 @@ def _lib():
     lib = ctypes.CDLL(so)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int32)
-    lib.spock_cpu_solve_cp.restype = ctypes.c_long
-    lib.spock_cpu_solve_cp.argtypes = (
+    argtypes = (
         [ctypes.c_int] * 5
         + [dp] * 11
         + [ctypes.c_double] * 4
@@ -50,6 +49,10 @@ def _lib():
         + [ctypes.c_long]
         + [dp, dp]
     )
+    lib.spock_cpu_solve_cp.restype = ctypes.c_long
+    lib.spock_cpu_solve_cp.argtypes = argtypes
+    lib.spock_cpu_solve_sp.restype = ctypes.c_long
+    lib.spock_cpu_solve_sp.argtypes = argtypes
     _LIB = lib
     return lib
 
@@ -190,9 +193,11 @@ class NativeSolver:
         tol: float = 1e-3,
         max_iter: int = 5000,
         warm_start: bool = True,
+        algorithm: str = "cp",
     ):
         """Returns dict(x, u, s, tau, y, iterations, converged).  z/v persist
-        across calls (implicit warm start, like the reference)."""
+        across calls (implicit warm start, like the reference).
+        algorithm: "cp" or "spock" (SuperMann + Anderson)."""
         lib = _lib()
         t = self.tree
         if not warm_start:
@@ -203,7 +208,12 @@ class NativeSolver:
         dp = ctypes.POINTER(ctypes.c_double)
         ip = ctypes.POINTER(ctypes.c_int32)
         as_dp = lambda a: a.ctypes.data_as(dp)
-        it = lib.spock_cpu_solve_cp(
+        fn = (
+            lib.spock_cpu_solve_sp
+            if algorithm == "spock"
+            else lib.spock_cpu_solve_cp
+        )
+        it = fn(
             t.N,
             t.d,
             self.nx,

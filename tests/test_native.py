@@ -46,3 +46,17 @@ def test_native_warm_start():
     nat2 = NativeSolver(spec)
     r2_cold = nat2.solve(np.array([0.11, 0.1]), tol=1e-4)
     assert r2["iterations"] <= r2_cold["iterations"]
+
+
+def test_native_supermann():
+    """Native SuperMann+Anderson converges faster than native CP and matches
+    the same solution."""
+    spec = server_heat.make_spec(N=4, nx=4, d=2)
+    x0 = np.array([0.4, -0.3, 0.5, 0.2])
+    n1 = NativeSolver(spec)
+    r_cp = n1.solve(x0, tol=1e-6, max_iter=30000, algorithm="cp")
+    n2 = NativeSolver(spec)
+    r_sp = n2.solve(x0, tol=1e-6, max_iter=30000, algorithm="spock")
+    assert r_cp["converged"] and r_sp["converged"]
+    assert r_sp["iterations"] < r_cp["iterations"]
+    np.testing.assert_allclose(r_sp["u"][0], r_cp["u"][0], atol=3e-4)
