@@ -37,7 +37,8 @@ def main():
     from spock_tpu.models import server_heat
     from spock_tpu.solver import zero_dual, zero_primal
 
-    B = int(__import__("os").environ.get("SPOCK_BENCH_B", "1024"))
+    B = int(__import__("os").environ.get("SPOCK_BENCH_B", "512"))
+    alg = __import__("os").environ.get("SPOCK_BENCH_ALG", "spock")
     N, nx, d = 10, 20, 2
     tol = 1e-3
 
@@ -50,17 +51,20 @@ def main():
 
     import functools
 
+    from spock_tpu.algorithms import cp as cp_alg
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def mpc_step(x, z, v, w):
-        res = sp_alg.run_supermann(
-            data,
-            meta,
-            x,
-            z,
-            v,
-            tol=jnp.asarray(tol, jnp.float32),
-            max_iter=1000,
-        )
+        if alg == "cp":
+            res = cp_alg.run_cp(
+                data, meta, x, z, v,
+                tol=jnp.asarray(tol, jnp.float32), max_iter=5000,
+            )
+        else:
+            res = sp_alg.run_supermann(
+                data, meta, x, z, v,
+                tol=jnp.asarray(tol, jnp.float32), max_iter=1000,
+            )
         u0 = res.z.u[:, :, 0]
         Aw, Bw = data.A[w], data.B[w]
         x_next = jnp.einsum("bxy,by->bx", Aw, x) + jnp.einsum(
@@ -98,7 +102,7 @@ def main():
                 "vs_baseline": round(solves_per_s / target, 4),
                 "detail": {
                     "B": B,
-                    "config": f"server_heat nx={nx} N={N} d={d} tol={tol}",
+                    "config": f"server_heat nx={nx} N={N} d={d} tol={tol} alg={alg}",
                     "mean_iters_per_solve": round(iters_sum / timed_steps, 2),
                     "unconverged_lanes_warmup": n_fail,
                     "step_time_s": round(dt / timed_steps, 4),
