@@ -32,13 +32,56 @@ def init_rows(B: int, K: int, m: int, dtype) -> Tuple:
 
 
 def write_slot(rows: Tuple, col, slot):
-    """Functionally replace ring slot ``slot`` (traced scalar) with ``col``."""
+    """Functionally replace ring slot ``slot`` (traced scalar) with ``col``.
+
+    ``rows`` is a tuple of arbitrary (matching) pytrees; ``col`` a pytree of
+    the same structure as each row."""
     m = len(rows)
     branches = [
         (lambda i: lambda ops: ops[1][:i] + (ops[0],) + ops[1][i + 1 :])(i)
         for i in range(m)
     ]
     return jax.lax.switch(slot, branches, (col, rows))
+
+
+def direction_tree(MR: Tuple, MP: Tuple, r_tree, vdot_fn):
+    """Pytree-native variant of :func:`direction`: history rows and the
+    residual are pytrees; no flatten/unflatten passes are materialized.
+
+    vdot_fn(a, b) -> [B] per-lane inner product over a row pytree.
+    Returns the direction as a pytree of the row structure.
+    """
+    import jax.numpy as jnp
+    from ..zv import tmap
+
+    m = len(MR)
+    G = jnp.stack(
+        [
+            jnp.stack([vdot_fn(MR[i], MR[j]) for j in range(m)], axis=-1)
+            for i in range(m)
+        ],
+        axis=-2,
+    )  # [B, m, m]
+    c = jnp.stack([vdot_fn(MR[i], r_tree) for i in range(m)], axis=-1)
+    dtype = G.dtype
+    tr = jnp.trace(G, axis1=-2, axis2=-1)
+    eps = jnp.asarray(1e-10, dtype) * (tr[:, None, None] / m) + jnp.asarray(
+        1e-30, dtype
+    )
+    gamma = jnp.linalg.solve(G + eps * jnp.eye(m, dtype=dtype), c[..., None])[
+        ..., 0
+    ]  # [B, m]
+
+    def combine(*leaves):
+        # leaves: (r_leaf, MP_0_leaf, ..., MP_{m-1}_leaf)
+        r_leaf = leaves[0]
+        out = -r_leaf
+        for i in range(m):
+            g = gamma[:, i].reshape((-1,) + (1,) * (r_leaf.ndim - 1))
+            out = out - g * leaves[1 + i]
+        return out
+
+    return tmap(combine, r_tree, *MP)
 
 
 def direction(MR: Tuple, MP: Tuple, r_flat):

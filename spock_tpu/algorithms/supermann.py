@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops.linop import metric_apply
 from ..problem import ProblemData, ProblemMeta
-from ..zv import Dual, Primal, lincomb, sub, tmap, vdot
+from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap, vdot
 from . import anderson, broyden
 from .common import (
     SolveResult,
@@ -115,6 +115,16 @@ class SPCarry:
     xi2: Any
     it: Any  # scalar
     hist: Any  # [max_iter, B, 3] (xi1, xi2, backtracks); shape (0,..) if off
+    # sweep cache: when the whole batch accepted the tau=1 K1 candidate, the
+    # candidate's sweep/metric results ARE the next iteration's (zbar, vbar,
+    # M r, ||r||) — reuse them instead of recomputing (1 sweep + 1 metric
+    # application saved per iteration in warm steady state).
+    cache_valid: Any  # scalar bool
+    zbar_c: Primal
+    vbar_c: Dual
+    Mrz_c: Primal
+    Mrv_c: Dual
+    rnorm_c: Any  # [B]
 
 
 @register
@@ -125,6 +135,8 @@ class _BTCarry:
     z_acc: Primal
     v_acc: Dual
     r_safe: Any  # [B]
+    xi1: Any  # [B] termination residual at the accepted update
+    xi2: Any  # [B]
     bt: Any  # scalar
 
 
@@ -153,9 +165,10 @@ def run_supermann(
         return vdot(az, bmz, 1) + vdot(av, bmv, 1)
 
     if opts.direction == "anderson":
+        zrow = lambda: (tmap(jnp.zeros_like, z0), tmap(jnp.zeros_like, v0))
         dirstate0 = (
-            anderson.init_rows(B, K, opts.aa_window, dtype),  # MR rows
-            anderson.init_rows(B, K, opts.aa_window, dtype),  # MP rows
+            tuple(zrow() for _ in range(opts.aa_window)),  # MR rows (pytrees)
+            tuple(zrow() for _ in range(opts.aa_window)),  # MP rows
         )
     elif opts.direction == "broyden":
         dirstate0 = broyden.init(B, K, opts.broyden_mem, dtype)
@@ -181,6 +194,12 @@ def run_supermann(
         xi2=jnp.full((B,), jnp.inf, dtype),
         it=jnp.zeros((), jnp.int32),
         hist=jnp.zeros((max_iter if record else 0, B, 3), dtype),
+        cache_valid=jnp.zeros((), bool),
+        zbar_c=tmap(jnp.zeros_like, z0),
+        vbar_c=tmap(jnp.zeros_like, v0),
+        Mrz_c=tmap(jnp.zeros_like, z0),
+        Mrv_c=tmap(jnp.zeros_like, v0),
+        rnorm_c=jnp.zeros((B,), dtype),
     )
 
     def cond(c: SPCarry):
@@ -188,23 +207,43 @@ def run_supermann(
 
     def body(c: SPCarry):
         # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
-        zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+        def fresh_sweep(_):
+            zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+            rz = sub(c.z, zbar)
+            rv = sub(c.v, vbar)
+            Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
+            rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
+            return zbar, vbar, Mrz, Mrv, rnorm
+
+        def cached_sweep(_):
+            return c.zbar_c, c.vbar_c, c.Mrz_c, c.Mrv_c, c.rnorm_c
+
+        zbar, vbar, Mrz, Mrv, rnorm = jax.lax.cond(
+            c.cache_valid, cached_sweep, fresh_sweep, None
+        )
         rz = sub(c.z, zbar)
         rv = sub(c.v, vbar)
-        Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
-        rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
+        # inf-norms reused for operator-free termination (see below)
+        nMrz = inf_norm(Mrz, 1)
+        nMrv = inf_norm(Mrv, 1)
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
-        r_flat = _ravel_pair(rz, rv)
-        y_flat = _ravel_pair(sub(rz, c.rz_prev), sub(rv, c.rv_prev))
-        s_flat = _ravel_pair(c.dz_prev, c.dv_prev)
+        r_pair = (rz, rv)
+        y_pair = (sub(rz, c.rz_prev), sub(rv, c.rv_prev))
+        s_pair = (c.dz_prev, c.dv_prev)
         if opts.direction == "anderson":
             slot = jnp.mod(c.it, opts.aa_window)
-            MR = anderson.write_slot(c.dirstate[0], y_flat, slot)
-            MP = anderson.write_slot(c.dirstate[1], s_flat - y_flat, slot)
-            d_flat = anderson.direction(MR, MP, r_flat)
-            dirstate = (MR, MP)  # tuples of rows
+            p_pair = tmap(jnp.subtract, s_pair, y_pair)
+            MR = anderson.write_slot(c.dirstate[0], y_pair, slot)
+            MP = anderson.write_slot(c.dirstate[1], p_pair, slot)
+            dz, dv = anderson.direction_tree(
+                MR, MP, r_pair, lambda a, b: vdot(a, b, 1)
+            )
+            dirstate = (MR, MP)
         elif opts.direction == "broyden":
+            r_flat = _ravel_pair(rz, rv)
+            y_flat = _ravel_pair(*y_pair)
+            s_flat = _ravel_pair(*s_pair)
             Msz, Msv = metric_apply(
                 data, meta, c.dz_prev, c.dv_prev, gamma, sigma
             )
@@ -212,13 +251,15 @@ def run_supermann(
             d_flat, dirstate = broyden.direction(
                 c.dirstate, r_flat, s_flat, y_flat, ps_flat, opts.broyden_mem
             )
+            dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
         else:  # plain residual direction (KM step candidates)
-            d_flat = -r_flat
+            dz, dv = tmap(jnp.negative, rz), tmap(jnp.negative, rv)
             dirstate = ()
-        dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
 
         # rho needs <r~, M d>; hoist M d out of the backtracking loop.
         Mdz, Mdv = metric_apply(data, meta, dz, dv, gamma, sigma)
+        nMdz = inf_norm(Mdz, 1)
+        nMdv = inf_norm(Mdv, 1)
 
         # ---- CP fallback (sp.jl:443-446) ----
         if opts.lam == 1.0:
@@ -226,6 +267,10 @@ def run_supermann(
         else:
             z_fb = lincomb(opts.lam, zbar, 1.0 - opts.lam, c.z)
             v_fb = lincomb(opts.lam, vbar, 1.0 - opts.lam, c.v)
+        # operator-free termination residuals for the fallback step:
+        # dz_iter = -lam*rz  =>  xi1 = lam*||M rz||_inf/gamma, etc.
+        xi1_fb = opts.lam * nMrz / gamma
+        xi2_fb = opts.lam * nMrv / sigma
 
         # ---- K0 blind update (sp.jl:73-107; disabled by default) ----
         if opts.k0:
@@ -233,43 +278,89 @@ def run_supermann(
             eta_new = jnp.where(k0_mask, rnorm, c.eta)
             z_init = bwhere(k0_mask, tmap(jnp.add, c.z, dz), z_fb)
             v_init = bwhere(k0_mask, tmap(jnp.add, c.v, dv), v_fb)
+            xi1_init = jnp.where(k0_mask, nMdz / gamma, xi1_fb)
+            xi2_init = jnp.where(k0_mask, nMdv / sigma, xi2_fb)
             loop_init = ~k0_mask
         else:
             eta_new = c.eta
             z_init, v_init = z_fb, v_fb
+            xi1_init, xi2_init = xi1_fb, xi2_fb
             loop_init = jnp.ones((B,), bool)
 
         q_pow = jnp.asarray(opts.q, dtype) ** c.it.astype(dtype)
 
-        def bt_cond(b: _BTCarry):
-            return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
-
-        def bt_body(b: _BTCarry):
-            # candidate (w, u) = (z, v) + tau d  (sp.jl:118-131)
-            w = tmap(lambda zl, dl: zl + bexpand(b.tau, zl) * dl, c.z, dz)
-            u = tmap(lambda vl, dl: vl + bexpand(b.tau, vl) * dl, c.v, dv)
+        def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
+            """One backtracking trial at per-lane step size tau; returns the
+            updated acceptance state plus the candidate's sweep results (the
+            peeled tau=1 trial reuses them as the next iteration's cache)."""
+            w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, c.z, dz)
+            u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, c.v, dv)
             wbar, ubar = cp_sweep(data, meta, w, u, gamma, sigma, x0)
             rw = sub(w, wbar)
             ru = sub(u, ubar)
             Mrw, Mru = metric_apply(data, meta, rw, ru, gamma, sigma)
             rt_sq = jnp.maximum(mdot(rw, ru, Mrw, Mru), 0.0)
             rtilde = jnp.sqrt(rt_sq)
-            rho = rt_sq - b.tau * mdot(rw, ru, Mdz, Mdv)
+            rho = rt_sq - tau * mdot(rw, ru, Mdz, Mdv)
 
-            k1 = (rnorm <= b.r_safe) & (rtilde <= opts.c1 * rnorm) & b.looping
-            k2 = (
-                (rho >= opts.sigma_k2 * rnorm * rtilde) & b.looping & (~k1)
-            )
+            k1 = (rnorm <= b_r_safe) & (rtilde <= opts.c1 * rnorm) & looping
+            k2 = (rho >= opts.sigma_k2 * rnorm * rtilde) & looping & (~k1)
             # K2 safeguarded projection step (sp.jl:204-222)
-            coef = jnp.where(rt_sq > 0, rho / jnp.where(rt_sq > 0, rt_sq, 1.0), 0.0)
+            coef = jnp.where(
+                rt_sq > 0, rho / jnp.where(rt_sq > 0, rt_sq, 1.0), 0.0
+            )
             coef = opts.lam_sp * coef
             z_k2 = tmap(lambda zl, rl: zl - bexpand(coef, zl) * rl, c.z, rw)
             v_k2 = tmap(lambda vl, rl: vl - bexpand(coef, vl) * rl, c.v, ru)
 
-            z_acc = bwhere(k1, w, bwhere(k2, z_k2, b.z_acc))
-            v_acc = bwhere(k1, u, bwhere(k2, v_k2, b.v_acc))
-            r_safe = jnp.where(k1, rtilde + q_pow, b.r_safe)
-            looping = b.looping & (~k1) & (~k2)
+            z_acc = bwhere(k1, w, bwhere(k2, z_k2, b_z_acc))
+            v_acc = bwhere(k1, u, bwhere(k2, v_k2, b_v_acc))
+            r_safe = jnp.where(k1, rtilde + q_pow, b_r_safe)
+            # Operator-free termination residuals at acceptance:
+            #   K1: dz_iter = tau*d  => xi1 = tau*||M dz||_inf/gamma
+            #   K2: dz_iter = -coef*rw => xi1 = coef*||M rw||_inf/gamma
+            # (both follow from M's definition; saves the L/L' pair the
+            # reference spends in should_terminate!, sp.jl:286-292)
+            xi1 = jnp.where(
+                k1,
+                tau * nMdz / gamma,
+                jnp.where(k2, coef * inf_norm(Mrw, 1) / gamma, b_xi1),
+            )
+            xi2 = jnp.where(
+                k1,
+                tau * nMdv / sigma,
+                jnp.where(k2, coef * inf_norm(Mru, 1) / sigma, b_xi2),
+            )
+            looping_out = looping & (~k1) & (~k2)
+            return (
+                (z_acc, v_acc, r_safe, xi1, xi2, looping_out, k1),
+                (wbar, ubar, Mrw, Mru, rtilde),
+            )
+
+        # ---- peeled first trial at tau = 1 (the common accept path) ----
+        looping0 = loop_init & (~c.done)
+        (z_a, v_a, r_safe_a, xi1_a, xi2_a, looping1, k1_first), cache = (
+            candidate(
+                jnp.ones((B,), dtype),
+                looping0,
+                z_init,
+                v_init,
+                c.r_safe,
+                xi1_init,
+                xi2_init,
+            )
+        )
+        # batch-wide cache validity: every lane either finished earlier or
+        # accepted this exact candidate (so sweep(z_new) == cache values)
+        cache_valid = jnp.all(k1_first | c.done) & jnp.all(c.done | ~looping1)
+
+        def bt_cond(b: _BTCarry):
+            return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
+
+        def bt_body(b: _BTCarry):
+            (z_acc, v_acc, r_safe, xi1, xi2, looping, _), _unused = candidate(
+                b.tau, b.looping, b.z_acc, b.v_acc, b.r_safe, b.xi1, b.xi2
+            )
             tau = jnp.where(looping, b.tau * opts.beta, b.tau)
             return _BTCarry(
                 tau=tau,
@@ -277,25 +368,29 @@ def run_supermann(
                 z_acc=z_acc,
                 v_acc=v_acc,
                 r_safe=r_safe,
+                xi1=xi1,
+                xi2=xi2,
                 bt=b.bt + 1,
             )
 
         bt0 = _BTCarry(
-            tau=jnp.ones((B,), dtype),
-            looping=loop_init & (~c.done),
-            z_acc=z_init,
-            v_acc=v_init,
-            r_safe=c.r_safe,
-            bt=jnp.zeros((), jnp.int32),
+            tau=jnp.full((B,), opts.beta, dtype),
+            looping=looping1,
+            z_acc=z_a,
+            v_acc=v_a,
+            r_safe=r_safe_a,
+            xi1=xi1_a,
+            xi2=xi2_a,
+            bt=jnp.ones((), jnp.int32),
         )
         bt = jax.lax.while_loop(bt_cond, bt_body, bt0)
         z_new, v_new = bt.z_acc, bt.v_acc
 
-        # ---- termination (sp.jl:270-344) ----
+        # ---- termination (sp.jl:270-344), from the accumulated norms ----
+        xi1, xi2 = bt.xi1, bt.xi2
+        conv, res0 = check_termination(xi1, xi2, c.res0, tol)
         dz_iter = sub(z_new, c.z)
         dv_iter = sub(v_new, c.v)
-        xi1, xi2 = residual_norms(data, meta, dz_iter, dv_iter, gamma, sigma)
-        conv, res0 = check_termination(xi1, xi2, c.res0, tol)
 
         active = ~c.done
         hist = c.hist
@@ -313,7 +408,7 @@ def run_supermann(
             dv_prev=bwhere(active, dv_iter, c.dv_prev),
             # NOTE: dirstate deliberately NOT lane-masked — finished lanes'
             # iterates are frozen elsewhere, their direction is never applied,
-            # and masking would cost a full pass over the [B, m, K] history.
+            # and masking would cost a full pass over the history rows.
             dirstate=dirstate,
             r_safe=jnp.where(active, bt.r_safe, c.r_safe),
             eta=jnp.where(active, eta_new, c.eta),
@@ -324,6 +419,12 @@ def run_supermann(
             xi2=jnp.where(active, xi2, c.xi2),
             it=c.it + 1,
             hist=hist,
+            cache_valid=cache_valid,
+            zbar_c=cache[0],
+            vbar_c=cache[1],
+            Mrz_c=cache[2],
+            Mrv_c=cache[3],
+            rnorm_c=cache[4],
         )
 
     out = jax.lax.while_loop(cond, body, init)
