@@ -99,6 +99,7 @@ def np_prod(shape):
 @register
 @dataclasses.dataclass(frozen=True)
 class SPCarry:
+    x0: Any  # [B, nx] — per-lane initial state (rewritable by async drivers)
     z: Primal
     v: Dual
     rz_prev: Primal
@@ -140,30 +141,19 @@ class _BTCarry:
     bt: Any  # scalar
 
 
-def run_supermann(
-    data: ProblemData,
+def sp_init(
     meta: ProblemMeta,
     x0,
     z0: Primal,
     v0: Dual,
-    tol,
-    max_iter,
     opts: SuperMannOpts = SuperMannOpts(),
-    gamma=None,
-    sigma=None,
+    max_iter: int = 1000,
     record: bool = False,
-) -> SolveResult:
-    if gamma is None or sigma is None:
-        step = 0.99 / jnp.sqrt(data.L_sq)
-        gamma = sigma = step
+) -> SPCarry:
+    """Build the initial SuperMann carry for a batch of lanes."""
     B = x0.shape[0]
     dtype = x0.dtype
     K = _ravel_pair(z0, v0).shape[-1]
-
-    def mdot(az, av, bmz, bmv):
-        """<(az, av), (bmz, bmv)> per lane (args already metric-applied)."""
-        return vdot(az, bmz, 1) + vdot(av, bmv, 1)
-
     if opts.direction == "anderson":
         zrow = lambda: (tmap(jnp.zeros_like, z0), tmap(jnp.zeros_like, v0))
         dirstate0 = (
@@ -177,7 +167,8 @@ def run_supermann(
     else:
         raise ValueError(f"unknown direction {opts.direction!r}")
 
-    init = SPCarry(
+    return SPCarry(
+        x0=x0,
         z=z0,
         v=v0,
         rz_prev=tmap(jnp.zeros_like, z0),
@@ -202,10 +193,34 @@ def run_supermann(
         rnorm_c=jnp.zeros((B,), dtype),
     )
 
-    def cond(c: SPCarry):
-        return (~jnp.all(c.done)) & (c.it < max_iter)
+
+def sp_body(
+    data: ProblemData,
+    meta: ProblemMeta,
+    tol,
+    opts: SuperMannOpts = SuperMannOpts(),
+    gamma=None,
+    sigma=None,
+    record: bool = False,
+):
+    """Returns the one-iteration transition function carry -> carry.
+
+    Exposed separately from :func:`run_supermann` so outer drivers (the
+    asynchronous MPC farm, custom schedulers) can embed the iteration in
+    their own loops.
+    """
+    if gamma is None or sigma is None:
+        step = 0.99 / jnp.sqrt(data.L_sq)
+        gamma = sigma = step
+
+    def mdot(az, av, bmz, bmv):
+        """<(az, av), (bmz, bmv)> per lane (args already metric-applied)."""
+        return vdot(az, bmz, 1) + vdot(av, bmv, 1)
 
     def body(c: SPCarry):
+        B = c.done.shape[0]
+        dtype = c.r_safe.dtype
+        x0 = c.x0
         # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
         def fresh_sweep(_):
             zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
@@ -400,6 +415,7 @@ def run_supermann(
             )
             hist = hist.at[c.it].set(jnp.stack([xi1, xi2, bts], axis=-1))
         return SPCarry(
+            x0=c.x0,
             z=bwhere(active, z_new, c.z),
             v=bwhere(active, v_new, c.v),
             rz_prev=bwhere(active, rz, c.rz_prev),
@@ -426,6 +442,30 @@ def run_supermann(
             Mrv_c=cache[3],
             rnorm_c=cache[4],
         )
+
+    return body
+
+
+def run_supermann(
+    data: ProblemData,
+    meta: ProblemMeta,
+    x0,
+    z0: Primal,
+    v0: Dual,
+    tol,
+    max_iter,
+    opts: SuperMannOpts = SuperMannOpts(),
+    gamma=None,
+    sigma=None,
+    record: bool = False,
+) -> SolveResult:
+    init = sp_init(meta, x0, z0, v0, opts, max_iter=max_iter, record=record)
+    body = sp_body(
+        data, meta, tol, opts, gamma=gamma, sigma=sigma, record=record
+    )
+
+    def cond(c: SPCarry):
+        return (~jnp.all(c.done)) & (c.it < max_iter)
 
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(

@@ -62,3 +62,31 @@ def test_sharded_batch_solve_matches_single_device():
         np.asarray(res_shard.z.u), np.asarray(res_local.z.u), atol=1e-3, rtol=0
     )
     assert bool(jnp.all(res_shard.status == 0))
+
+
+def test_async_mpc_matches_sync():
+    """The async farm produces a valid closed loop: same per-lane control
+    sequences as the synchronous simulate (same w draws, same tolerance)."""
+    spec, data, meta = _built()
+    B, T = 4, 5
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    ws = jnp.asarray(rng.integers(0, meta.tree.d, (T, B)))
+
+    res_s = mpc.simulate(data, meta, x0, ws, tol=1e-5)
+    res_a = mpc.simulate_async(data, meta, x0, ws, tol=1e-5, n_steps=T)
+
+    assert bool(jnp.all(res_a.steps_done == T))
+    # applied controls match to solver tolerance at every step
+    np.testing.assert_allclose(
+        np.asarray(res_a.us), np.asarray(res_s.us), atol=5e-4
+    )
+    # final states match
+    np.testing.assert_allclose(
+        np.asarray(res_a.xs), np.asarray(res_s.xs[-1]), atol=5e-3
+    )
+    # total while iterations is bounded by the sum of per-step maxima (the
+    # sync cost) and at least the per-lane mean
+    assert int(res_a.total_iterations) <= int(
+        np.asarray(res_s.iterations).max(axis=1).sum() + T
+    )
