@@ -90,3 +90,24 @@ def test_async_mpc_matches_sync():
     assert int(res_a.total_iterations) <= int(
         np.asarray(res_s.iterations).max(axis=1).sum() + T
     )
+
+
+def test_async_mpc_sharded():
+    """Async MPC farm with the lane axis sharded over the virtual mesh
+    (pod-scale batch execution model, BASELINE config 5)."""
+    spec, data, meta = _built()
+    n_dev = min(8, jax.device_count())
+    B, T = 2 * n_dev, 3
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    ws = jnp.asarray(rng.integers(0, meta.tree.d, (T, B)))
+
+    m = pmesh.make_mesh(n_dev)
+    data_r = pmesh.replicate(data, m)
+    x0_s = pmesh.shard_batch(x0, m)
+    res = mpc.simulate_async(data_r, meta, x0_s, ws, tol=1e-4, n_steps=T)
+    assert bool(jnp.all(res.steps_done == T))
+    res_local = mpc.simulate_async(data, meta, x0, ws, tol=1e-4, n_steps=T)
+    np.testing.assert_allclose(
+        np.asarray(res.us), np.asarray(res_local.us), atol=1e-3
+    )
