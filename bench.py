@@ -52,9 +52,14 @@ def main():
     ws_timed = jnp.asarray(rng.integers(0, d, size=(timed_steps, B)))
     tol_a = jnp.asarray(tol, jnp.float32)
 
+    # bounded device launches: the tunneled backend watchdogs long single
+    # executions; ~200 sweep iterations/launch keeps each under ~10 s
+    chunk = int(os.environ.get("SPOCK_BENCH_CHUNK", "200"))
+
     # phase 1: cold chains -> warm steady state
     res1 = mpc.simulate_async(
-        data, meta, x0, ws_warm, tol_a, n_steps=warm_steps
+        data, meta, x0, ws_warm, tol_a, n_steps=warm_steps,
+        iters_per_launch=chunk,
     )
     jax.block_until_ready(res1)
     assert int(np.asarray(res1.steps_done).min()) == warm_steps
@@ -62,13 +67,13 @@ def main():
     # phase 2: compile for its own n_steps, then time an identical run
     res2 = mpc.simulate_async(
         data, meta, res1.xs, ws_timed, tol_a, n_steps=timed_steps,
-        z0=res1.z, v0=res1.v,
+        z0=res1.z, v0=res1.v, iters_per_launch=chunk,
     )
     jax.block_until_ready(res2)
     t0 = time.perf_counter()
     res2 = mpc.simulate_async(
         data, meta, res1.xs, ws_timed, tol_a, n_steps=timed_steps,
-        z0=res1.z, v0=res1.v,
+        z0=res1.z, v0=res1.v, iters_per_launch=chunk,
     )
     jax.block_until_ready(res2)
     dt = time.perf_counter() - t0

@@ -125,19 +125,17 @@ jax.tree_util.register_dataclass(
 )
 
 
-@partial(jax.jit, static_argnames=("meta", "n_steps", "opts", "max_total_iters"))
-def simulate_async(
+@partial(jax.jit, static_argnames=("meta", "n_steps", "opts"))
+def _simulate_async_jit(
     data: ProblemData,
     meta: ProblemMeta,
-    x0,
     ws,
     tol,
     n_steps: int,
-    opts: sp_alg.SuperMannOpts = sp_alg.SuperMannOpts(),
-    max_total_iters: int = 1_000_000,
-    z0=None,
-    v0=None,
-) -> AsyncMPCResult:
+    opts: sp_alg.SuperMannOpts,
+    iter_budget,
+    init,
+):
     """Receding-horizon MPC where every lane advances its own chain the
     moment its solve converges — no batch-level straggler barrier.
 
@@ -151,29 +149,13 @@ def simulate_async(
 
     x0: [B, nx]; ws: [T, B] realization indices; n_steps: MPC steps per lane.
     """
-    B = x0.shape[0]
-    dtype = x0.dtype
-    if z0 is None:
-        z0 = zero_primal(meta, (B,), dtype)
-    if v0 is None:
-        v0 = zero_dual(meta, (B,), dtype)
-    sp0 = sp_alg.sp_init(meta, x0, z0, v0, opts)
     body = sp_alg.sp_body(data, meta, tol, opts)
-    ws = jnp.asarray(ws)
-
-    init = dict(
-        sp=sp0,
-        step_idx=jnp.zeros((B,), jnp.int32),
-        iters_rec=jnp.zeros((n_steps, B), jnp.int32),
-        us_rec=jnp.zeros((n_steps, B, meta.nu), dtype),
-        total=jnp.zeros((), jnp.int32),
-    )
-
+    B = init["step_idx"].shape[0]
     lane_ids = jnp.arange(B)
 
     def cond(st):
         return jnp.any(st["step_idx"] < n_steps) & (
-            st["total"] < max_total_iters
+            st["total"] < iter_budget
         )
 
     def loop(st):
@@ -221,7 +203,7 @@ def simulate_async(
         )
 
     out = jax.lax.while_loop(cond, loop, init)
-    return AsyncMPCResult(
+    res = AsyncMPCResult(
         steps_done=out["step_idx"],
         iters_per_step=out["iters_rec"],
         us=out["us_rec"],
@@ -230,3 +212,66 @@ def simulate_async(
         z=out["sp"].z,
         v=out["sp"].v,
     )
+    return res, out
+
+
+def simulate_async(
+    data: ProblemData,
+    meta: ProblemMeta,
+    x0,
+    ws,
+    tol,
+    n_steps: int,
+    opts: sp_alg.SuperMannOpts = sp_alg.SuperMannOpts(),
+    max_total_iters: int = 1_000_000,
+    z0=None,
+    v0=None,
+    iters_per_launch: int = 0,
+    resume=None,
+) -> AsyncMPCResult:
+    """Host wrapper around the jitted farm.
+
+    iters_per_launch > 0 chunks the device while_loop into bounded launches
+    (the carry round-trips through jit boundaries, not the host) — needed on
+    backends that watchdog long single executions; 0 = one launch.
+    resume: opaque state from a previous call (continues the same farm).
+    """
+    B = x0.shape[0]
+    dtype = x0.dtype
+    ws = jnp.asarray(ws)
+    if resume is None:
+        if z0 is None:
+            z0 = zero_primal(meta, (B,), dtype)
+        if v0 is None:
+            v0 = zero_dual(meta, (B,), dtype)
+        sp0 = sp_alg.sp_init(meta, x0, z0, v0, opts)
+        state = dict(
+            sp=sp0,
+            step_idx=jnp.zeros((B,), jnp.int32),
+            iters_rec=jnp.zeros((n_steps, B), jnp.int32),
+            us_rec=jnp.zeros((n_steps, B, meta.nu), dtype),
+            total=jnp.zeros((), jnp.int32),
+        )
+    else:
+        state = resume
+
+    if iters_per_launch <= 0:
+        res, state = _simulate_async_jit(
+            data, meta, ws, tol, n_steps, opts,
+            jnp.asarray(max_total_iters, jnp.int32), state,
+        )
+        return res
+
+    while True:
+        budget = jnp.minimum(
+            state["total"] + iters_per_launch,
+            jnp.asarray(max_total_iters, jnp.int32),
+        )
+        res, state = _simulate_async_jit(
+            data, meta, ws, tol, n_steps, opts, budget, state
+        )
+        jax.block_until_ready(res.steps_done)
+        if bool((np := __import__("numpy")).all(
+            np.asarray(res.steps_done) >= n_steps
+        )) or int(res.total_iterations) >= max_total_iters:
+            return res

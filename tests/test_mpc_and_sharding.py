@@ -111,3 +111,20 @@ def test_async_mpc_sharded():
     np.testing.assert_allclose(
         np.asarray(res.us), np.asarray(res_local.us), atol=1e-3
     )
+
+
+def test_async_mpc_chunked_launches():
+    """Chunked (bounded-launch) async farm gives the same results as a
+    single launch."""
+    spec, data, meta = _built()
+    B, T = 4, 4
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    ws = jnp.asarray(rng.integers(0, meta.tree.d, (T, B)))
+    r1 = mpc.simulate_async(data, meta, x0, ws, tol=1e-4, n_steps=T)
+    r2 = mpc.simulate_async(
+        data, meta, x0, ws, tol=1e-4, n_steps=T, iters_per_launch=25
+    )
+    assert bool(jnp.all(r2.steps_done == T))
+    np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r2.us), atol=1e-10)
+    assert int(r1.total_iterations) == int(r2.total_iterations)
