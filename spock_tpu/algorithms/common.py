@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.linop import apply_L, apply_LT
 from ..ops.prox import prox_f, prox_h_conj
+from ..ops import pallas_kernels
 from ..zv import Dual, Primal, inf_norm, lincomb, tmap
 
 
@@ -54,7 +55,13 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     zbar = prox_f(data, meta, z1, gamma, x0)
     z_refl = lincomb(2.0, zbar, -1.0, z)
     v1 = tmap(lambda a, b: a + sigma * b, v, apply_L(data, meta, z_refl))
-    vbar = prox_h_conj(data, meta, v1, sigma)
+    if pallas_kernels.ENABLED and pallas_kernels.supported(meta):
+        vbar = pallas_kernels.prox_h_conj_fused(
+            data, meta, v1, sigma,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        vbar = prox_h_conj(data, meta, v1, sigma)
     return zbar, vbar
 
 
