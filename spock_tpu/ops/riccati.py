@@ -7,10 +7,15 @@ onto the affine subspace {x_root = x0, x_j = A_wj x_i + B_wj u_i}.
 The reference walks the tree node-by-node with pointer chasing; here each
 stage is one batched tensor op (all d^t nodes of the stage at once), and the
 N-stage backward/forward recursions are unrolled at trace time (N is small
-and static).  Layout is feature-major ([..., nx, nodes]); children of the
-stage's nodes group as a trailing [m, d] reshape of the node axis.  The
-offline factors (:class:`spock_tpu.problem.RiccatiData`) are stage-uniform,
-so their node dim broadcasts (einsum strings without 'm').
+and static).  Layout is feature-major ([..., nx, nodes]).
+
+Child grouping uses per-sibling strided slices (``q[..., k::d]``) and the
+sibling loop is unrolled over the small static d: a reshape to
+[..., m, d] would put the tiny sibling dim in the TPU lane dimension and
+pad it ~40x — the cause of an observed OOM on the branching-3, N=15 tree.
+
+The offline factors (:class:`spock_tpu.problem.RiccatiData`) are
+stage-uniform (node dim 1); per-sibling matrices are indexed statically.
 """
 
 from __future__ import annotations
@@ -20,11 +25,14 @@ import jax.numpy as jnp
 from ..problem import ProblemData, ProblemMeta
 
 
-def _mat(M, x, eq: str, eq1: str):
-    """Apply per-stage-node matrices with broadcastable node dim."""
-    if M.shape[0] == 1:
-        return jnp.einsum(eq1, M[0], x)
-    return jnp.einsum(eq, M, x)
+def _interleave(blocks, d):
+    """blocks: list of d arrays [..., m] -> [..., m*d] with
+    result[..., i*d + k] = blocks[k][..., i]."""
+    m = blocks[0].shape[-1]
+    out = jnp.zeros(blocks[0].shape[:-1] + (m * d,), blocks[0].dtype)
+    for k in range(d):
+        out = out.at[..., k::d].set(blocks[k])
+    return out
 
 
 def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
@@ -41,24 +49,27 @@ def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
     q_next = -x[..., t.stage_offset(N - 1) :]  # [..., nx, m_leaf]
     dvecs = [None] * (N - 1)
     for st in range(N - 2, -1, -1):
-        m = t.stage_size(st)
         sl = t.stage_slice(st)
-        qc = q_next.reshape(q_next.shape[:-1] + (m, d))  # [..., nx, m, d]
+        Rt = ric.Rtinv[st][0]  # [nu, nu] (stage-uniform)
+        Kt = ric.K[st][0]  # [nu, nx]
+        ABKt = ric.ABK[st][0]  # [d, nx, nx]
+        PBt = ric.PB[st][0]  # [d, nx, nu]
+        qks = [q_next[..., k::d] for k in range(d)]  # each [..., nx, m]
         # sum over children of B[w]' q_child
-        sum_d = jnp.einsum("dxu,...xmd->...um", B, qc)
+        sum_d = None
+        for k in range(d):
+            term = jnp.einsum("xu,...xm->...um", B[k], qks[k])
+            sum_d = term if sum_d is None else sum_d + term
         u_st = u[..., sl]
-        rhs = u_st - sum_d
-        dvec = _mat(ric.Rtinv[st], rhs, "muv,...vm->...um", "uv,...vm->...um")
+        dvec = jnp.einsum("uv,...vm->...um", Rt, u_st - sum_d)
         dvecs[st] = dvec
-        # q_i = sum_j ABK_j' (P_j B_j d_i + q_j) + K_i' (d_i - u_i) - x_i
-        inner = (
-            _mat(ric.PB[st], dvec, "mdxu,...um->...xmd", "dxu,...um->...xmd")
-            + qc
-        )
-        qi = _mat(ric.ABK[st], inner, "mdxy,...xmd->...ym", "dxy,...xmd->...ym")
-        qi = qi + _mat(
-            ric.K[st], dvec - u_st, "mux,...um->...xm", "ux,...um->...xm"
-        )
+        # q_i = sum_k ABK_k' (P_k B_k d_i + q_k) + K' (d_i - u_i) - x_i
+        qi = None
+        for k in range(d):
+            inner = jnp.einsum("xu,...um->...xm", PBt[k], dvec) + qks[k]
+            term = jnp.einsum("xy,...xm->...ym", ABKt[k], inner)
+            qi = term if qi is None else qi + term
+        qi = qi + jnp.einsum("ux,...um->...xm", Kt, dvec - u_st)
         q_next = qi - x[..., sl]
 
     # ---- forward sweep: x_root = x0, closed-loop rollout ----
@@ -66,16 +77,16 @@ def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
     xs = [x_st]
     us = []
     for st in range(N - 1):
-        m = t.stage_size(st)
-        u_st = (
-            _mat(ric.K[st], x_st, "mux,...xm->...um", "ux,...xm->...um")
-            + dvecs[st]
-        )
+        Kt = ric.K[st][0]
+        ABKt = ric.ABK[st][0]
+        u_st = jnp.einsum("ux,...xm->...um", Kt, x_st) + dvecs[st]
         us.append(u_st)
-        x_child = _mat(
-            ric.ABK[st], x_st, "mdxy,...ym->...xmd", "dxy,...ym->...xmd"
-        ) + jnp.einsum("dxu,...um->...xmd", B, dvecs[st])
-        x_st = x_child.reshape(x_child.shape[:-2] + (m * d,))
+        x_children = [
+            jnp.einsum("xy,...ym->...xm", ABKt[k], x_st)
+            + jnp.einsum("xu,...um->...xm", B[k], dvecs[st])
+            for k in range(d)
+        ]
+        x_st = _interleave(x_children, d)
         xs.append(x_st)
 
     return jnp.concatenate(xs, axis=-1), jnp.concatenate(us, axis=-1)
