@@ -44,18 +44,22 @@ def nmul_t(M, x):
     return jnp.einsum("nab,...an->...bn", M, x)
 
 
+# Above this node count, [..., n, d]-shaped temps (whose minor dim d pads to
+# 128 TPU lanes, a 128/d x blowup) stop being affordable and we switch to
+# strided per-sibling slices.  Below it the broadcast/reshape forms are both
+# cheaper to execute (no strided lane access) and the padding is trivial.
+BIG_TREE_NODES = 1 << 18
+
+
 def rep_children(a, d: int):
     """[..., n_nonleaf] -> [..., n_nonleaf * d]: each parent's value replicated
-    to its (contiguous) children along the node axis.
-
-    Memory note: a naive ``broadcast_to(a[..., None], ... + (d,))`` creates a
-    [..., n, d] temp whose minor dim d (2-3) pads to 128 TPU lanes — a 40x+
-    HBM blowup on big trees (observed OOM at d=3, N=15).  Broadcasting with
-    the sibling axis *before* the node axis keeps every materialized array
-    minor-dim = n; the final transpose+reshape lowers to one well-laid-out
-    copy.
-    """
+    to its (contiguous) children along the node axis."""
     n = a.shape[-1]
+    if n * d <= BIG_TREE_NODES:
+        expanded = jnp.broadcast_to(a[..., None], a.shape + (d,))
+        return expanded.reshape(a.shape[:-1] + (n * d,))
+    # big tree: strided writes avoid a [..., n, d] padded temp (observed
+    # 4.6 GB temp from a 110 MB logical broadcast at d=3, N=15)
     out = jnp.zeros(a.shape[:-1] + (n * d,), a.dtype)
     for k in range(d):
         out = out.at[..., k::d].set(a)
@@ -63,9 +67,10 @@ def rep_children(a, d: int):
 
 
 def sum_children(a, d: int):
-    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups.
-
-    Strided slices keep all temps minor-dim = n_nonleaf (see rep_children)."""
+    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups."""
+    n = a.shape[-1]
+    if n <= BIG_TREE_NODES:
+        return a.reshape(a.shape[:-1] + (n // d, d)).sum(axis=-1)
     out = a[..., 0::d]
     for k in range(1, d):
         out = out + a[..., k::d]

@@ -37,18 +37,29 @@ def project_risk_kernel(data: ProblemData, meta: ProblemMeta, s_rest, tau, y):
     t = meta.tree
     d, n_nl = t.d, t.n_nonleaf
     # sibling index becomes a feature dim so the projector contracts over
-    # features, nodes stay last.  Strided slices (not reshape-to-[n_nl, d])
-    # keep every temp's minor dim large — a [., n_nl, d] array would pad
-    # d -> 128 lanes (40x HBM blowup on big trees).
-    sg = jnp.stack([s_rest[..., k::d] for k in range(d)], axis=-2)
-    tg = jnp.stack([tau[..., k::d] for k in range(d)], axis=-2)
+    # features, nodes stay last.  On big trees use strided slices (not
+    # reshape-to-[n_nl, d]): a [., n_nl, d] temp pads d -> 128 lanes.
+    from .linop import BIG_TREE_NODES
+
+    big = (t.n - 1) > BIG_TREE_NODES
+    if big:
+        sg = jnp.stack([s_rest[..., k::d] for k in range(d)], axis=-2)
+        tg = jnp.stack([tau[..., k::d] for k in range(d)], axis=-2)
+    else:
+        sg = jnp.swapaxes(
+            s_rest.reshape(s_rest.shape[:-1] + (n_nl, d)), -1, -2
+        )
+        tg = jnp.swapaxes(tau.reshape(tau.shape[:-1] + (n_nl, d)), -1, -2)
     vec = jnp.concatenate([y, sg, tg], axis=-2)  # [..., ny + 2d, n_nl]
     out = nmul(data.ker_proj, vec)
     y_p = out[..., : meta.ny, :]
 
     def interleave(block):
-        # [..., d, n_nl] -> [..., n-1] with result[..., i*d + k] = block[k, i];
-        # strided sets keep temps minor-dim = n_nl (no [., n_nl, d] padding)
+        # [..., d, n_nl] -> [..., n-1] with result[..., i*d + k] = block[k, i]
+        if not big:
+            return jnp.swapaxes(block, -1, -2).reshape(
+                block.shape[:-2] + (n_nl * d,)
+            )
         out = jnp.zeros(block.shape[:-2] + (n_nl * d,), block.dtype)
         for k in range(d):
             out = out.at[..., k::d].set(block[..., k, :])

@@ -25,10 +25,16 @@ import jax.numpy as jnp
 from ..problem import ProblemData, ProblemMeta
 
 
+from .linop import BIG_TREE_NODES
+
+
 def _interleave(blocks, d):
     """blocks: list of d arrays [..., m] -> [..., m*d] with
     result[..., i*d + k] = blocks[k][..., i]."""
     m = blocks[0].shape[-1]
+    if m * d <= BIG_TREE_NODES:
+        stacked = jnp.stack(blocks, axis=-1)  # [..., m, d]
+        return stacked.reshape(blocks[0].shape[:-1] + (m * d,))
     out = jnp.zeros(blocks[0].shape[:-1] + (m * d,), blocks[0].dtype)
     for k in range(d):
         out = out.at[..., k::d].set(blocks[k])
@@ -54,7 +60,12 @@ def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
         Kt = ric.K[st][0]  # [nu, nx]
         ABKt = ric.ABK[st][0]  # [d, nx, nx]
         PBt = ric.PB[st][0]  # [d, nx, nu]
-        qks = [q_next[..., k::d] for k in range(d)]  # each [..., nx, m]
+        m = t.stage_size(st)
+        if m * d <= BIG_TREE_NODES:
+            qg = q_next.reshape(q_next.shape[:-1] + (m, d))
+            qks = [qg[..., k] for k in range(d)]  # each [..., nx, m]
+        else:
+            qks = [q_next[..., k::d] for k in range(d)]
         # sum over children of B[w]' q_child
         sum_d = None
         for k in range(d):
