@@ -76,3 +76,31 @@ def test_nonuniform_avar():
     alphas = rng.uniform(0.4, 0.95, nnl)
     risk = risks.avar_nonuniform(ps, alphas)
     _check(_spec_with_risk(risk), X0)
+
+
+def test_nonuniform_costs():
+    """Per-node Q/R/QN exercise the non-broadcast cost paths in L/L'."""
+    spec0 = server_heat.make_spec(N=3, nx=3, d=2)
+    t = spec0.tree
+    rng = np.random.default_rng(9)
+
+    def spd_batch(k, n, scale):
+        # random diagonal SPD matrices
+        return np.stack([np.diag(rng.uniform(0.5, 1.5, n)) * scale for _ in range(k)])
+
+    from spock_tpu.problem import Cost
+
+    cost = Cost(
+        Q=spd_batch(t.n - 1, 3, 0.1),
+        R=spd_batch(t.n - 1, 3, 1.0),
+        QN=spd_batch(t.n_leaf, 3, 0.1),
+    )
+    spec = dataclasses.replace(spec0, cost=cost)
+    data, meta = build(spec, dtype=jnp.float64)
+    res = Solver(data, meta, algorithm="spock").solve(X0, tol=1e-6)
+    assert bool(res.converged)
+    ora = scipy_ref.solve(spec, x0=X0)
+    np.testing.assert_allclose(
+        np.asarray(res.z.u)[:, 0], ora["u"][0], atol=3e-4
+    )
+    np.testing.assert_allclose(float(res.z.s[0]), ora["objective"], atol=3e-4)

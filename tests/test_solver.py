@@ -155,3 +155,41 @@ def test_broyden_and_residual_directions(car_built):
     np.testing.assert_allclose(sols["anderson"], sols["broyden"], atol=1e-3)
     np.testing.assert_allclose(sols["anderson"], sols["residual"], atol=1e-3)
     assert iters["broyden"] <= iters["residual"]
+
+
+def test_solution_invariants(car_built):
+    """The reference's latent test plan (commented testsets at
+    test/runtests.jl:39-165): y in K*, b'y <= s, stage cost <= tau,
+    terminal cost <= s at the converged solution."""
+    spec, data, meta = car_built
+    t = meta.tree
+    res = Solver(data, meta, algorithm="spock").solve(
+        np.array([0.1, 0.1]), tol=1e-7
+    )
+    assert bool(res.converged)
+    tol = 1e-4
+    x = np.asarray(res.z.x)  # [nx, n]
+    u = np.asarray(res.z.u)
+    s = np.asarray(res.z.s)
+    tau = np.asarray(res.z.tau)
+    y = np.asarray(res.z.y)  # [ny, n_nl]
+    Q = np.asarray(spec.cost.Q)[0]
+    R = np.asarray(spec.cost.R)[0]
+    QN = np.asarray(spec.cost.QN)[0]
+    b = np.asarray(spec.risk.b)[0]
+
+    # y in K* (AVaR: nonneg on first 2d components, free last)
+    d = t.d
+    assert np.all(y[: 2 * d, :] >= -tol)
+    # b'y <= s_i per non-leaf
+    for i in range(t.n_nonleaf):
+        assert b @ y[:, i] <= s[i] + tol
+    # stage cost of parent's (x, u) <= tau_j per non-root j
+    for j in range(1, t.n):
+        i = t.parent(j)
+        c = x[:, i] @ Q @ x[:, i] + u[:, i] @ R @ u[:, i]
+        assert c <= tau[j - 1] + tol
+    # terminal cost <= s at leaves
+    for k in range(t.n_leaf):
+        i = t.leaf_start + k
+        assert x[:, i] @ QN @ x[:, i] <= s[i] + tol
