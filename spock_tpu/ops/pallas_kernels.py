@@ -6,11 +6,17 @@ stack/concat, projections, Moreau subtract — measured ~7x below HBM peak);
 this kernel does one read and one write per dual block with all arithmetic
 in VMEM.
 
-The kernel is grid-parallel over lanes (batch tiles); each step processes
-whole node ranges of every block (feature-major [bt, f, n] tiles, reductions
-over the sublane/feature axis).  Cone segments of the y block are unrolled
-statically from the ConeSpec.  Falls back to interpret mode off-TPU so the
-same code path is exercised by the CPU test suite.
+Implementation constraints (Mosaic TPU lowering): no concatenates or
+sub-tile slicing inside the kernel — the SOC projections are computed
+component-wise from the squared-norm reduction, and the product-cone
+projection of the y block uses precomputed per-row masks instead of segment
+slices.  SOC segments inside K* are therefore routed to the jnp fallback
+(``supported`` returns False); the common AV@R/TV polyhedral duals take the
+fused path.
+
+Grid-parallel over lane tiles; feature-major [bt, f, n] blocks with
+reductions over the sublane/feature axis.  Falls back to interpret mode
+off-TPU so the CPU test suite exercises the same code path.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,47 +37,33 @@ from ..zv import Dual
 ENABLED = os.environ.get("SPOCK_PALLAS", "0") == "1"
 
 
-def _soc_project_block(vec):
-    """SOC projection with the cone axis at -2 ((t, x) ordering); vec:
-    [bt, k, n]."""
-    t = vec[:, 0:1, :]
-    x = vec[:, 1:, :]
-    xn = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+def _soc_pieces(t, xn_sq):
+    """SOC projection factors from t ([bt, n]) and ||x||^2 ([bt, n]):
+    returns (t_out, x_scale) with x_out = x_scale * x applied elementwise to
+    every x component — no stacked cone vector needed."""
+    xn = jnp.sqrt(xn_sq)
     inside = xn <= t
     polar = xn <= -t
     safe = jnp.where(xn > 0, xn, 1.0)
     t_new = (t + xn) * 0.5
     scale = t_new / safe
     t_out = jnp.where(inside, t, jnp.where(polar, 0.0, t_new))
-    x_out = jnp.where(inside, x, jnp.where(polar, 0.0, scale * x))
-    return jnp.concatenate([t_out, x_out], axis=1)
+    x_scale = jnp.where(inside, 1.0, jnp.where(polar, 0.0, scale))
+    return t_out, x_scale
 
 
-def _cone_product_block(w, spec):
-    """Project [bt, ny, n] onto the product cone (segments along axis 1)."""
-    out = []
+def _cone_segments(dual_spec):
+    """Static (kind, start, end) row segments of a polyhedral product cone."""
+    segs = []
     off = 0
-    for kind, dim in spec:
-        seg = w[:, off : off + dim, :]
-        if kind == "zero":
-            out.append(jnp.zeros_like(seg))
-        elif kind == "nonneg":
-            out.append(jnp.maximum(seg, 0.0))
-        elif kind == "nonpos":
-            out.append(jnp.minimum(seg, 0.0))
-        elif kind == "reals":
-            out.append(seg)
-        elif kind == "soc":
-            out.append(_soc_project_block(seg))
-        else:
-            # exp cones etc: handled by the jnp fallback path
-            raise NotImplementedError(kind)
+    for kind, dim in dual_spec:
+        segs.append((kind, off, off + dim))
         off += dim
-    return jnp.concatenate(out, axis=1)
+    return tuple(segs)
 
 
 def _prox_h_kernel(
-    dual_spec,
+    cone_segments,
     nx,
     nu,
     # inputs
@@ -108,39 +101,53 @@ def _prox_h_kernel(
     sigma = sig_ref[0]
     inv = 1.0 / sigma
 
-    # --- y block: dual-cone projection ---
+    # --- y block: polyhedral dual-cone projection via static row masks
+    # (row-id iota comparisons — pallas kernels cannot close over arrays) ---
     wy = y_ref[:] * inv
-    oy[:] = sigma * (wy - _cone_product_block(wy, dual_spec))
+    rid = jax.lax.broadcasted_iota(jnp.int32, wy.shape, dimension=1)
+    py = wy
+    for kind, lo, hi in cone_segments:
+        m = (rid >= lo) & (rid < hi)
+        if kind == "nonneg":
+            py = jnp.where(m, jnp.maximum(wy, 0.0), py)
+        elif kind == "nonpos":
+            py = jnp.where(m, jnp.minimum(wy, 0.0), py)
+        elif kind == "zero":
+            py = jnp.where(m, 0.0, py)
+        # reals: identity
+    oy[:] = sigma * (wy - py)
 
     # --- sby: clip at 0 ---
     wsby = sby_ref[:] * inv
     osby[:] = sigma * (wsby - jnp.maximum(wsby, 0.0))
 
-    # --- non-root SOC: (t6+1/2, qx, ru, t5-1/2) ---
+    # --- non-root SOC: t = t6 + 1/2; x = (qx, ru, t5 - 1/2) ---
     wt6 = t6_ref[:] * inv + 0.5  # [bt, n-1]
     wt5 = t5_ref[:] * inv - 0.5
-    wqx = qx_ref[:] * inv
+    wqx = qx_ref[:] * inv  # [bt, nx, n-1]
     wru = ru_ref[:] * inv
-    vec = jnp.concatenate(
-        [wt6[:, None, :], wqx, wru, wt5[:, None, :]], axis=1
+    xn_sq = (
+        jnp.sum(wqx * wqx, axis=1)
+        + jnp.sum(wru * wru, axis=1)
+        + wt5 * wt5
     )
-    p = _soc_project_block(vec)
-    ot6[:] = sigma * (wt6 - p[:, 0, :])
-    oqx[:] = sigma * (wqx - p[:, 1 : 1 + nx, :])
-    oru[:] = sigma * (wru - p[:, 1 + nx : 1 + nx + nu, :])
-    ot5[:] = sigma * (wt5 - p[:, -1, :])
+    t_out, x_scale = _soc_pieces(wt6, xn_sq)
+    ot6[:] = sigma * (wt6 - t_out)
+    xs = x_scale[:, None, :]
+    oqx[:] = sigma * (wqx - xs * wqx)
+    oru[:] = sigma * (wru - xs * wru)
+    ot5[:] = sigma * (wt5 - x_scale * wt5)
 
-    # --- leaf SOC: (s13+1/2, qNx, s12-1/2) ---
+    # --- leaf SOC: t = s13 + 1/2; x = (qNx, s12 - 1/2) ---
     ws13 = s13_ref[:] * inv + 0.5
     ws12 = s12_ref[:] * inv - 0.5
     wqNx = qNx_ref[:] * inv
-    vecl = jnp.concatenate(
-        [ws13[:, None, :], wqNx, ws12[:, None, :]], axis=1
-    )
-    pl_ = _soc_project_block(vecl)
-    os13[:] = sigma * (ws13 - pl_[:, 0, :])
-    oqNx[:] = sigma * (wqNx - pl_[:, 1 : 1 + nx, :])
-    os12[:] = sigma * (ws12 - pl_[:, -1, :])
+    xn_sq_l = jnp.sum(wqNx * wqNx, axis=1) + ws12 * ws12
+    tl_out, xl_scale = _soc_pieces(ws13, xn_sq_l)
+    os13[:] = sigma * (ws13 - tl_out)
+    xls = xl_scale[:, None, :]
+    oqNx[:] = sigma * (wqNx - xls * wqNx)
+    os12[:] = sigma * (ws12 - xl_scale * ws12)
 
     # --- boxes ---
     xmin = xmin_ref[:].reshape(1, nx, 1)
@@ -156,12 +163,11 @@ def _prox_h_kernel(
 
 
 def supported(meta: ProblemMeta) -> bool:
-    """Pallas path covers the polyhedral/SOC cone families, no polytopes."""
+    """Fused path covers polyhedral dual cones without polytopes."""
     if meta.nc_nl or meta.nc_lf:
         return False
     return all(
-        k in ("zero", "nonneg", "nonpos", "reals", "soc")
-        for k, _ in meta.dual_cone
+        k in ("zero", "nonneg", "nonpos", "reals") for k, _ in meta.dual_cone
     )
 
 
@@ -249,7 +255,9 @@ def prox_h_conj_fused(
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
     ]
 
-    kernel = functools.partial(_prox_h_kernel, meta.dual_cone, nx, nu)
+    kernel = functools.partial(
+        _prox_h_kernel, _cone_segments(meta.dual_cone), nx, nu
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
