@@ -10,7 +10,7 @@ hardcoded constant (``models/cpock.jl:63``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -43,7 +43,6 @@ from .common import (
     check_termination,
     cp_sweep,
     register,
-    residual_norms,
 )
 
 

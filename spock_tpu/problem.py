@@ -21,14 +21,13 @@ branching=3, N=15 (~10^7 node) trees fit on a chip.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .risks import ConeSpec, RiskSpec, cone_dim, dual_cone
+from .risks import ConeSpec, RiskSpec, dual_cone
 from .tree import UniformTree
 
 

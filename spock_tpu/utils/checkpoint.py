@@ -14,7 +14,6 @@ import dataclasses
 import jax
 import numpy as np
 
-from ..problem import ProblemMeta
 from ..zv import Dual, Primal
 
 

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
-
 import jax
 
 
