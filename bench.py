@@ -39,7 +39,7 @@ def main():
 
     B = int(os.environ.get("SPOCK_BENCH_B", "512"))
     warm_steps = int(os.environ.get("SPOCK_BENCH_WARMUP", "8"))
-    timed_steps = int(os.environ.get("SPOCK_BENCH_STEPS", "16"))
+    timed_steps = int(os.environ.get("SPOCK_BENCH_STEPS", "48"))
     N, nx, d = 10, 20, 2
     tol = 1e-3
 
