@@ -37,7 +37,7 @@ def main():
     from spock_tpu import build, mpc
     from spock_tpu.models import server_heat
 
-    B = int(os.environ.get("SPOCK_BENCH_B", "512"))
+    B = int(os.environ.get("SPOCK_BENCH_B", "128"))
     warm_steps = int(os.environ.get("SPOCK_BENCH_WARMUP", "8"))
     timed_steps = int(os.environ.get("SPOCK_BENCH_STEPS", "48"))
     N, nx, d = 10, 20, 2
