@@ -193,3 +193,29 @@ def test_solution_invariants(car_built):
     for k in range(t.n_leaf):
         i = t.leaf_start + k
         assert x[:, i] @ QN @ x[:, i] <= s[i] + tol
+
+
+def test_residual_recording(car_built):
+    """record=True keeps per-iteration residual traces (the reference's LOG
+    verbose mode, cp.jl:82-97 / sp.jl:299-317)."""
+    from spock_tpu.algorithms import cp as cp_alg
+    from spock_tpu.algorithms import supermann as sp_alg
+    from spock_tpu.solver import zero_dual, zero_primal
+
+    spec, data, meta = car_built
+    x0 = jnp.asarray([[0.1, 0.1]], jnp.float64)
+    z0, v0 = zero_primal(meta, (1,), jnp.float64), zero_dual(meta, (1,), jnp.float64)
+    rc = cp_alg.run_cp(data, meta, x0, z0, v0, tol=1e-4, max_iter=2000, record=True)
+    n = int(rc.iterations[0])
+    tr = np.asarray(rc.residuals)[:n, 0]
+    assert tr.shape[1] == 2 and np.all(tr > 0)
+    # last recorded residuals match the reported finals
+    np.testing.assert_allclose(tr[-1, 0], float(rc.xi1[0]), rtol=1e-9)
+
+    rs = sp_alg.run_supermann(
+        data, meta, x0, z0, v0, tol=1e-4, max_iter=1000, record=True
+    )
+    ns = int(rs.iterations[0])
+    trs = np.asarray(rs.residuals)[:ns, 0]
+    assert trs.shape[1] == 3  # xi1, xi2, backtracks
+    assert ns < n  # SuperMann converges in fewer iterations
