@@ -2,13 +2,13 @@
 
 Re-derivation of ``L!`` / ``L_transpose!``
 (``/root/reference/src/model_dynamics/implicit_l.jl:177-449``) for the
-feature-major, stage-major uniform tree layout (node axis LAST — see
-:mod:`spock_tpu.zv` for the layout rationale):
+feature-major, stage-major, sibling-major uniform tree layout (node axis
+LAST — see :mod:`spock_tpu.zv` and :mod:`spock_tpu.tree`):
 
-* "parent -> children" broadcast replicates the last (node) axis d times —
-  a broadcast+reshape, no gather;
-* "children -> parent" reduction reshapes the node axis to [n_nonleaf, d]
-  and sums the sibling axis — no scatter;
+* "parent -> children" replication is a per-stage concat of d contiguous
+  parent blocks — no gather, no tiny-minor-dim broadcast temps;
+* "children -> parent" reduction is a per-stage contiguous [d, m] reshape
+  + sublane-axis sum — no scatter, no strided lane access;
 * per-node matrix applications contract the small feature (sublane) axis —
   einsums that broadcast a size-1 node dim for uniform problem data.
 
@@ -44,37 +44,35 @@ def nmul_t(M, x):
     return jnp.einsum("nab,...an->...bn", M, x)
 
 
-# Above this node count, [..., n, d]-shaped temps (whose minor dim d pads to
-# 128 TPU lanes, a 128/d x blowup) stop being affordable and we switch to
-# strided per-sibling slices.  Below it the broadcast/reshape forms are both
-# cheaper to execute (no strided lane access) and the padding is trivial.
-BIG_TREE_NODES = 1 << 18
+def rep_children(a, tree):
+    """[..., n_nonleaf] -> [..., n - 1]: each parent's value replicated to its
+    children, in the sibling-major non-root order (see tree.py).
+
+    Per parent stage, the children block is just d contiguous copies of the
+    parent block — all concatenations of contiguous slices, no broadcasts
+    with a tiny minor dim and no strided access.
+    """
+    parts = []
+    for t in range(tree.N - 1):
+        blk = a[..., tree.stage_slice(t)]
+        parts.extend([blk] * tree.d)
+    return jnp.concatenate(parts, axis=-1)
 
 
-def rep_children(a, d: int):
-    """[..., n_nonleaf] -> [..., n_nonleaf * d]: each parent's value replicated
-    to its (contiguous) children along the node axis."""
-    n = a.shape[-1]
-    if n * d <= BIG_TREE_NODES:
-        expanded = jnp.broadcast_to(a[..., None], a.shape + (d,))
-        return expanded.reshape(a.shape[:-1] + (n * d,))
-    # big tree: strided writes avoid a [..., n, d] padded temp (observed
-    # 4.6 GB temp from a 110 MB logical broadcast at d=3, N=15)
-    out = jnp.zeros(a.shape[:-1] + (n * d,), a.dtype)
-    for k in range(d):
-        out = out.at[..., k::d].set(a)
-    return out
-
-
-def sum_children(a, d: int):
-    """[..., n_nonleaf * d] -> [..., n_nonleaf]: sum contiguous sibling groups."""
-    n = a.shape[-1]
-    if n <= BIG_TREE_NODES:
-        return a.reshape(a.shape[:-1] + (n // d, d)).sum(axis=-1)
-    out = a[..., 0::d]
-    for k in range(1, d):
-        out = out + a[..., k::d]
-    return out
+def sum_children(a, tree):
+    """[..., n - 1] (non-root order) -> [..., n_nonleaf]: sum each parent's d
+    children.  Sibling-major order makes this a contiguous [d, m] reshape
+    and a sublane-axis reduction per stage."""
+    d = tree.d
+    parts = []
+    for t in range(1, tree.N):
+        m = tree.stage_size(t - 1)
+        lo = tree.stage_offset(t) - 1
+        blk = a[..., lo : lo + d * m]
+        parts.append(
+            blk.reshape(blk.shape[:-1] + (d, m)).sum(axis=-2)
+        )
+    return jnp.concatenate(parts, axis=-1)
 
 
 def bdot(b, y):
@@ -96,8 +94,8 @@ def apply_L(data: ProblemData, meta: ProblemMeta, z: Primal) -> Dual:
 
     x_nl = z.x[..., :n_nl]
     x_leaf = z.x[..., ls:]
-    x_par = rep_children(x_nl, d)  # [..., nx, n-1]
-    u_par = rep_children(z.u, d)  # [..., nu, n-1]
+    x_par = rep_children(x_nl, t)  # [..., nx, n-1]
+    u_par = rep_children(z.u, t)  # [..., nu, n-1]
 
     half_tau = 0.5 * z.tau
     half_s_leaf = 0.5 * z.s[..., ls:]
@@ -136,9 +134,9 @@ def apply_LT(data: ProblemData, meta: ProblemMeta, v: Dual) -> Primal:
     t = meta.tree
     d, ls = t.d, t.leaf_start
 
-    x_nl = v.cx + sum_children(nmul_t(data.sqrtQ, v.qx), d)
+    x_nl = v.cx + sum_children(nmul_t(data.sqrtQ, v.qx), t)
     x_leaf = v.cxN + nmul_t(data.sqrtQN, v.qNx)
-    u = v.cu + sum_children(nmul_t(data.sqrtR, v.ru), d)
+    u = v.cu + sum_children(nmul_t(data.sqrtR, v.ru), t)
 
     if v.pnl is not None:
         x_nl = x_nl + jnp.einsum("cx,...cn->...xn", data.Gx, v.pnl)

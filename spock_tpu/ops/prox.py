@@ -30,43 +30,43 @@ def project_risk_kernel(data: ProblemData, meta: ProblemMeta, s_rest, tau, y):
     (cf. ``projection_S2!``, ``implicit_l.jl:688-727``).
 
     s_rest: [..., n-1] (= s over non-root nodes), tau: [..., n-1],
-    y: [..., ny, n_nonleaf].  Children of non-leaf i occupy the contiguous
-    slice [d*i, d*i+d) of the non-root arrays, so the gather is a reshape
-    plus a (tiny) sibling transpose into the feature axis.
+    y: [..., ny, n_nonleaf].  In the sibling-major stage order each stage's
+    non-root block reshapes contiguously to [d, m] with the sibling index
+    becoming a feature (sublane) dim, so the whole gather/scatter is
+    reshapes + concats — no transposes, no strided access.
     """
     t = meta.tree
     d, n_nl = t.d, t.n_nonleaf
-    # sibling index becomes a feature dim so the projector contracts over
-    # features, nodes stay last.  On big trees use strided slices (not
-    # reshape-to-[n_nl, d]): a [., n_nl, d] temp pads d -> 128 lanes.
-    from .linop import BIG_TREE_NODES
 
-    big = (t.n - 1) > BIG_TREE_NODES
-    if big:
-        sg = jnp.stack([s_rest[..., k::d] for k in range(d)], axis=-2)
-        tg = jnp.stack([tau[..., k::d] for k in range(d)], axis=-2)
-    else:
-        sg = jnp.swapaxes(
-            s_rest.reshape(s_rest.shape[:-1] + (n_nl, d)), -1, -2
-        )
-        tg = jnp.swapaxes(tau.reshape(tau.shape[:-1] + (n_nl, d)), -1, -2)
+    def to_children_fm(a):
+        # [..., n-1] -> [..., d, n_nonleaf] (row k = k-th children, columns
+        # ordered like the non-leaf nodes)
+        parts = []
+        for st in range(1, t.N):
+            m = t.stage_size(st - 1)
+            lo = t.stage_offset(st) - 1
+            blk = a[..., lo : lo + d * m]
+            parts.append(blk.reshape(blk.shape[:-1] + (d, m)))
+        return jnp.concatenate(parts, axis=-1)
+
+    def from_children_fm(block):
+        # inverse of to_children_fm: [..., d, n_nonleaf] -> [..., n-1]
+        parts = []
+        off = 0
+        for st in range(1, t.N):
+            m = t.stage_size(st - 1)
+            blk = block[..., :, off : off + m]
+            parts.append(blk.reshape(blk.shape[:-2] + (d * m,)))
+            off += m
+        return jnp.concatenate(parts, axis=-1)
+
+    sg = to_children_fm(s_rest)
+    tg = to_children_fm(tau)
     vec = jnp.concatenate([y, sg, tg], axis=-2)  # [..., ny + 2d, n_nl]
     out = nmul(data.ker_proj, vec)
     y_p = out[..., : meta.ny, :]
-
-    def interleave(block):
-        # [..., d, n_nl] -> [..., n-1] with result[..., i*d + k] = block[k, i]
-        if not big:
-            return jnp.swapaxes(block, -1, -2).reshape(
-                block.shape[:-2] + (n_nl * d,)
-            )
-        out = jnp.zeros(block.shape[:-2] + (n_nl * d,), block.dtype)
-        for k in range(d):
-            out = out.at[..., k::d].set(block[..., k, :])
-        return out
-
-    s_p = interleave(out[..., meta.ny : meta.ny + d, :])
-    t_p = interleave(out[..., meta.ny + d :, :])
+    s_p = from_children_fm(out[..., meta.ny : meta.ny + d, :])
+    t_p = from_children_fm(out[..., meta.ny + d :, :])
     return s_p, t_p, y_p
 
 

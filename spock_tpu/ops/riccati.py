@@ -9,10 +9,10 @@ stage is one batched tensor op (all d^t nodes of the stage at once), and the
 N-stage backward/forward recursions are unrolled at trace time (N is small
 and static).  Layout is feature-major ([..., nx, nodes]).
 
-Child grouping uses per-sibling strided slices (``q[..., k::d]``) and the
-sibling loop is unrolled over the small static d: a reshape to
-[..., m, d] would put the tiny sibling dim in the TPU lane dimension and
-pad it ~40x — the cause of an observed OOM on the branching-3, N=15 tree.
+Child grouping exploits the sibling-major stage order (see tree.py): the
+k-th children of all stage-t nodes are the contiguous block
+``[k*m, (k+1)*m)`` of stage t+1 — plain static slices, unrolled over the
+small static d.
 
 The offline factors (:class:`spock_tpu.problem.RiccatiData`) are
 stage-uniform (node dim 1); per-sibling matrices are indexed statically.
@@ -25,20 +25,10 @@ import jax.numpy as jnp
 from ..problem import ProblemData, ProblemMeta
 
 
-from .linop import BIG_TREE_NODES
-
-
 def _interleave(blocks, d):
-    """blocks: list of d arrays [..., m] -> [..., m*d] with
-    result[..., i*d + k] = blocks[k][..., i]."""
-    m = blocks[0].shape[-1]
-    if m * d <= BIG_TREE_NODES:
-        stacked = jnp.stack(blocks, axis=-1)  # [..., m, d]
-        return stacked.reshape(blocks[0].shape[:-1] + (m * d,))
-    out = jnp.zeros(blocks[0].shape[:-1] + (m * d,), blocks[0].dtype)
-    for k in range(d):
-        out = out.at[..., k::d].set(blocks[k])
-    return out
+    """blocks: list of d per-sibling arrays [..., m] -> the sibling-major
+    stage block [..., d*m] (just a concat)."""
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
@@ -61,11 +51,8 @@ def project_dynamics(data: ProblemData, meta: ProblemMeta, x, u, x0):
         ABKt = ric.ABK[st][0]  # [d, nx, nx]
         PBt = ric.PB[st][0]  # [d, nx, nu]
         m = t.stage_size(st)
-        if m * d <= BIG_TREE_NODES:
-            qg = q_next.reshape(q_next.shape[:-1] + (m, d))
-            qks = [qg[..., k] for k in range(d)]  # each [..., nx, m]
-        else:
-            qks = [q_next[..., k::d] for k in range(d)]
+        # children of stage-st nodes: sibling block k is q_next[..., k*m:(k+1)*m]
+        qks = [q_next[..., k * m : (k + 1) * m] for k in range(d)]
         # sum over children of B[w]' q_child
         sum_d = None
         for k in range(d):

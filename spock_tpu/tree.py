@@ -5,21 +5,27 @@ TPU-first design note
 The reference (``/root/reference/src/scenario_tree.jl:25-109``) stores the tree
 as dictionaries ``child_mapping``/``anc_mapping`` plus per-node index records.
 On TPU we instead exploit the *algebraic* structure of a uniform-branching tree
-laid out stage-major (root first, then stage 1, ...):
+laid out stage-major with a **sibling-major order inside each stage**:
 
 * node indices are 0-based; the root is node ``0``;
 * stage ``t`` occupies the contiguous index range
   ``[stage_offset(t), stage_offset(t+1))`` with ``stage_offset(t) =
   (d**t - 1) // (d - 1)``;
-* ``children(i) = d*i + 1, ..., d*i + d`` and ``parent(j) = (j - 1) // d``;
-* the realization ("w") index of non-root node ``j`` is its sibling index
-  ``(j - 1) % d`` (this reproduces the reference's ``w = (i % d) + 1`` rule at
-  ``scenario_tree.jl:77`` shifted to 0-based indexing);
-* consequently, for any per-node array ``a`` over nodes ``1..n-1``,
-  ``a.reshape(n_nonleaf, d)`` groups the children of non-leaf node ``i`` in
-  row ``i`` — *all* parent/child traffic becomes reshapes/broadcasts, never
-  gather/scatter.  This is the property that lets every kernel in
-  :mod:`spock_tpu.ops` run as dense batched tensor ops on the MXU/VPU.
+* within stage ``t`` (t >= 1), the k-th children of all stage-(t-1) parents
+  form one contiguous block: stage-local index ``k * m + i`` where ``m =
+  stage_size(t-1)`` and ``i`` is the parent's stage-local index;
+* the realization ("w") index of a node is its sibling index ``k``.
+
+Consequence: *every* parent/child data movement is a contiguous slice or
+reshape of the node axis — ``children-of-stage`` grouping is
+``block.reshape(d, m)``, parent replication is ``concat([parents] * d)``.
+No gathers, no stride-d lane access, and no [., n, d]-shaped temporaries
+(whose tiny minor dim would pad to 128 TPU lanes).
+
+This ordering differs from the reference's interleaved one (reference:
+child k of parent i at stage-local ``i*d + k`` — ``scenario_tree.jl:83-87``);
+:meth:`UniformTree.perm_to_reference` gives the node permutation for
+flat-layout interop (used by ``utils.refvec``).
 
 All fields are plain Python ints so a :class:`UniformTree` can be used as a
 static (hashable) argument of jitted functions.
@@ -85,20 +91,59 @@ class UniformTree:
     def stage_slice(self, t: int) -> slice:
         return slice(self.stage_offset(t), self.stage_offset(t + 1))
 
-    # ---- closed-form maps ----
+    def stage_of(self, j: int) -> int:
+        """Stage index of node ``j`` (host-side helper)."""
+        t = 0
+        while self.stage_offset(t + 1) <= j:
+            t += 1
+        return t
+
+    # ---- closed-form maps (sibling-major within each stage) ----
     def parent(self, j: int) -> int:
         if j <= 0:
             raise ValueError("The root has no parent.")
-        return (j - 1) // self.d
+        t = self.stage_of(j)
+        loc = j - self.stage_offset(t)
+        m = self.stage_size(t - 1)
+        return self.stage_offset(t - 1) + loc % m
 
-    def children(self, i: int) -> range:
+    def children(self, i: int) -> tuple:
         if i >= self.n_nonleaf:
             raise ValueError(f"Node {i} is a leaf; it has no children.")
-        return range(self.d * i + 1, self.d * i + self.d + 1)
+        t = self.stage_of(i)
+        loc = i - self.stage_offset(t)
+        m = self.stage_size(t)
+        base = self.stage_offset(t + 1)
+        return tuple(base + k * m + loc for k in range(self.d))
 
     def w(self, j: int) -> int:
         """Realization index of non-root node ``j`` (which (A, B) pair was used
-        on the edge parent(j) -> j). Equal to the sibling index ``(j-1) % d``."""
+        on the edge parent(j) -> j) — the sibling-block index."""
         if j <= 0:
             raise ValueError("The root has no realization index.")
-        return (j - 1) % self.d
+        t = self.stage_of(j)
+        loc = j - self.stage_offset(t)
+        return loc // self.stage_size(t - 1)
+
+    # ---- interop with the reference's interleaved numbering ----
+    def perm_to_reference(self):
+        """perm[our_id] = reference_id (both 0-based, reference = child k of
+        parent i at stage-local i*d + k).  Stage-major in both."""
+        import numpy as np
+
+        perm = np.zeros(self.n, dtype=np.int64)
+        # map recursively: ref parent ids needed; build ours->ref per stage
+        ours_to_ref_prev = {0: 0}
+        for t in range(1, self.N):
+            m = self.stage_size(t - 1)
+            off, off_p = self.stage_offset(t), self.stage_offset(t - 1)
+            cur = {}
+            for k in range(self.d):
+                for i in range(m):
+                    ours = off + k * m + i
+                    ref_parent_loc = ours_to_ref_prev[off_p + i] - off_p
+                    ref = off + ref_parent_loc * self.d + k
+                    cur[ours] = ref
+                    perm[ours] = ref
+            ours_to_ref_prev = cur
+        return perm

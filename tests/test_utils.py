@@ -23,7 +23,7 @@ def test_refvec_roundtrip():
     z = rand_primal(rng, meta)
     v = rand_dual(rng, meta)
 
-    zf = refvec.primal_to_ref(z)
+    zf = refvec.primal_to_ref(meta, z)
     assert zf.shape == (meta.nz,)
     z2 = refvec.primal_from_ref(meta, zf)
     for a, b in zip(
@@ -40,22 +40,33 @@ def test_refvec_roundtrip():
 
 
 def test_refvec_layout_matches_reference_convention():
-    """z layout must be [x; u; s; tau; y] node-major (implicit_l.jl:106-158):
-    z[0:nx] is node 0's state, etc."""
+    """z layout must be [x; u; s; tau; y] node-major in the REFERENCE's node
+    numbering (implicit_l.jl:106-158 + scenario_tree.jl:83-87): ref node
+    r's state sits at zf[r*nx:(r+1)*nx] and equals our node inv[r]."""
     data, meta = _built()
+    t = meta.tree
     rng = np.random.default_rng(1)
     z = rand_primal(rng, meta)
-    zf = refvec.primal_to_ref(z)
-    x = np.asarray(z.x)  # [nx, n]
-    np.testing.assert_allclose(zf[: meta.nx], x[:, 0])
-    np.testing.assert_allclose(
-        zf[meta.nx : 2 * meta.nx], x[:, 1]
-    )
-    t = meta.tree
+    zf = refvec.primal_to_ref(meta, z)
+    x = np.asarray(z.x)  # [nx, n] in OUR numbering
+    perm = t.perm_to_reference()  # perm[our] = ref
+    for our in range(t.n):
+        r = perm[our]
+        np.testing.assert_allclose(zf[r * meta.nx : (r + 1) * meta.nx], x[:, our])
     s_off = t.n * meta.nx + t.n_nonleaf * meta.nu
-    np.testing.assert_allclose(
-        zf[s_off : s_off + t.n], np.asarray(z.s)
-    )
+    s = np.asarray(z.s)
+    for our in range(t.n):
+        np.testing.assert_allclose(zf[s_off + perm[our]], s[our])
+
+    # the permutation respects tree structure: ref child k of ref parent p
+    # corresponds to our child k of our parent (reference child order is
+    # interleaved: ref children of p are {p_stagelocal*d + k})
+    for our in range(t.n_nonleaf):
+        kids = t.children(our)
+        for k, j in enumerate(kids):
+            st = t.stage_of(j)
+            ref_par_loc = perm[our] - t.stage_offset(st - 1)
+            assert perm[j] == t.stage_offset(st) + ref_par_loc * t.d + k
 
 
 def test_checkpoint_roundtrip(tmp_path):
