@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.linop import apply_L, apply_LT
 from ..ops.prox import prox_f, prox_h_conj
-from ..ops import pallas_kernels
+from ..ops import pallas_kernels, pallas_sweep
 from ..zv import Dual, Primal, inf_norm, lincomb, tmap
 
 
@@ -51,6 +51,11 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     zbar = prox_f(z - gamma L' v); vbar = prox_h*(v + sigma L (2 zbar - z)).
     (cf. update_zbar!/update_vbar!, ``src/model_algorithms/cp.jl:5-32``)
     """
+    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+        return pallas_sweep.cp_sweep_fused(
+            data, meta, z, v, gamma, sigma, x0,
+            interpret=jax.default_backend() == "cpu",
+        )
     z1 = tmap(lambda a, b: a - gamma * b, z, apply_LT(data, meta, v))
     zbar = prox_f(data, meta, z1, gamma, x0)
     z_refl = lincomb(2.0, zbar, -1.0, z)
