@@ -1,0 +1,87 @@
+"""On-chip breakdown of one SuperMann iteration: sweep, metric, direction,
+full body.  Honors SPOCK_PALLAS_SWEEP (read at import).
+
+    setsid nohup env PYTHONPATH=/root/repo:/root/.axon_site \
+        SPOCK_PALLAS_SWEEP=1 python examples/iter_bench.py > /tmp/ib.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from spock_tpu import build
+from spock_tpu.algorithms import supermann
+from spock_tpu.algorithms.common import cp_sweep
+from spock_tpu.models import server_heat
+from spock_tpu.ops.linop import metric_apply
+from spock_tpu.zv import tmap
+from tests.test_core_ops import rand_dual, rand_primal
+
+
+def timeit(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    B = int(os.environ.get("B", "128"))
+    print(
+        f"device={jax.devices()[0]} B={B} "
+        f"pallas_sweep={os.environ.get('SPOCK_PALLAS_SWEEP', '0')}",
+        flush=True,
+    )
+    spec = server_heat.make_spec(N=10, nx=20, d=2)
+    data, meta = build(spec, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    to32 = lambda t: tmap(lambda a: a.astype(jnp.float32), t)
+    z = to32(rand_primal(rng, meta, batch=(B,)))
+    v = to32(rand_dual(rng, meta, batch=(B,)))
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)), jnp.float32)
+    step = float(0.99 / np.sqrt(float(data.L_sq)))
+    gamma = sigma = jnp.float32(step)
+    tol = jnp.float32(1e-3)
+
+    f_sweep = jax.jit(
+        lambda z, v: cp_sweep(data, meta, z, v, gamma, sigma, x0)
+    )
+    f_metric = jax.jit(
+        lambda z, v: metric_apply(data, meta, z, v, gamma, sigma)
+    )
+
+    body = supermann.sp_body(data, meta, tol)
+    carry0 = supermann.sp_init(meta, x0, z, v)
+    f_body = jax.jit(body)
+
+    t_sweep = timeit(f_sweep, z, v)
+    t_metric = timeit(f_metric, z, v)
+    c1 = f_body(carry0)
+    t_body = timeit(f_body, c1)
+
+    print(f"cp_sweep:     {t_sweep*1e3:8.3f} ms", flush=True)
+    print(f"metric_apply: {t_metric*1e3:8.3f} ms", flush=True)
+    print(f"sp_body:      {t_body*1e3:8.3f} ms", flush=True)
+    print(
+        f"residual (body - 2*sweep - 3*metric): "
+        f"{(t_body - 2*t_sweep - 3*t_metric)*1e3:8.3f} ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,19 @@ fits in ONE Pallas kernel: all of L', the Riccati backward/forward sweeps,
 the risk-kernel (S2) projection, L, and the Moreau/SOC/box projections run
 back-to-back in VMEM with a lane-tile grid.
 
+Mosaic-compatibility rules this kernel follows (learned on-chip):
+* the last two dims of every block are full-size — per-lane vectors travel
+  as [B, 1, n] and x0 as [B, nx, 1];
+* no 3D dot_general — matmuls run as ``bt`` explicit 2D MXU dots;
+* NO register-slice arithmetic or concatenation at nonzero lane offsets
+  (Mosaic's relayout for offset-mismatched vectors is not implemented) —
+  all tree regrouping goes through VMEM scratch: stores and loads at
+  arbitrary static offsets canonicalize layouts.  The sibling-major stage
+  order (tree.py) is what makes every such transfer a contiguous slice.
+
 Requirements (falls back to the jnp path otherwise — see ``supported``):
 uniform costs/risk (broadcast node dims), polyhedral dual risk cone, no
-polytopes, and a per-lane state small enough for VMEM.  The sibling-major
-stage order (tree.py) is what makes every tree traversal a contiguous
-static slice here.
+polytopes, and a per-lane state small enough for VMEM.
 """
 
 from __future__ import annotations
@@ -41,7 +49,15 @@ def _per_lane_bytes(meta: ProblemMeta) -> int:
     t = meta.tree
     nz = meta.nz
     nv = meta.nv
-    scratch = t.n * meta.nx + t.n_nonleaf * meta.nu + 2 * t.n
+    mker = meta.ny + 2 * t.d
+    scratch = (
+        2 * t.n * meta.nx  # gx, gq
+        + (t.n_nonleaf + max(t.n_nonleaf, t.n_leaf)) * meta.nu  # gu, gs
+        + 2 * mker * t.n_nonleaf  # gk, gk2
+        + t.n  # gss
+        + (t.n - 1) * (1 + meta.nx + meta.nu)  # gtt, gqx, gru
+        + 2 * (t.d + 1) * meta.nx * max(t.n_leaf // t.d, 1)  # gst, gst2
+    )
     return 4 * (2 * (nz + nv) + scratch)
 
 
@@ -59,13 +75,16 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
 
 
 def _mm(M, X):
-    """[a, b] x [bt, b, n] -> [bt, a, n] (MXU)."""
-    return jax.lax.dot_general(
-        M,
-        X,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=X.dtype,
-    ).transpose(1, 0, 2)
+    """[a, b] x [bt, b, n] -> [bt, a, n] as bt explicit 2D MXU dots.
+
+    Mosaic's 3D dot_general lowering collapses (bt, n) into one lane axis
+    (an unsupported shape cast for small unaligned n), so the batch loop is
+    unrolled into clean 2D matmuls instead."""
+    outs = [
+        jnp.dot(M, X[i], preferred_element_type=X.dtype)
+        for i in range(X.shape[0])
+    ]
+    return jnp.stack(outs, axis=0)
 
 
 def _soc_pieces(t, xn_sq):
@@ -85,16 +104,18 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
     N, d = t.N, t.d
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, ls = t.n, t.n_nonleaf, t.leaf_start
-    mker = ny + 2 * d
     off = [t.stage_offset(i) for i in range(N + 1)]
     msz = [t.stage_size(i) for i in range(N)]
 
     def kernel(
         # scalars
         scal_ref,  # [2] = (gamma, sigma) in SMEM
-        # constants
-        sqrtQ_ref, sqrtR_ref, sqrtQN_ref, b_ref, ker_ref,
-        Kst_ref, Rti_ref, ABK_ref, PB_ref, Bdyn_ref,
+        # constants (transposes precomputed on host: in-kernel 2D transposes
+        # are another Mosaic relayout hazard)
+        sqrtQ_ref, sqrtR_ref, sqrtQN_ref, sqrtQT_ref, sqrtRT_ref,
+        sqrtQNT_ref, b_ref, ker_ref,
+        Kst_ref, KstT_ref, Rti_ref, BTall_ref, PBstk_ref, ABKTall_ref,
+        ABKBall_ref,
         xmin_ref, xmax_ref, umin_ref, umax_ref,
         # per-lane state
         x0_ref,
@@ -106,28 +127,40 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
         ovy, ovsby, ovqx, ovru, ovt5, ovt6,
         ovcx, ovcu, ovqNx, ovs12, ovs13, ovcxN,
         # scratch
-        gx, gu, gq, gs,
+        gx, gu, gq, gs, gk, gk2, gss, gtt, gqx, gru, gst, gst2,
     ):
         gamma = scal_ref[0]
         sigma = scal_ref[1]
         sqrtQ = sqrtQ_ref[:]
         sqrtR = sqrtR_ref[:]
         sqrtQN = sqrtQN_ref[:]
-        bvec = b_ref[:]
+        b3 = b_ref[:][None]  # [ny, 1] -> [1, ny, 1] (leading expand is free)
         ker = ker_ref[:]
+        # per-lane "scalar rows" stay 3D [bt, 1, n] throughout
+        ztau_v = ztau_ref[:]
+        vsby_v = vsby_ref[:]
+        vt5_v = vt5_ref[:]
+        vt6_v = vt6_ref[:]
+        vs12_v = vs12_ref[:]
+        vs13_v = vs13_ref[:]
 
-        # ============ z1 = z - gamma * L'(v), into (gx, gu, zs', tau', y') ==
+        # ============ z1 = z - gamma * L'(v), into (gx, gu, s', tau', y') ==
         # x: non-leaf part
         gx[:, :, :n_nl] = vcx_ref[:]
         # leaf part: cxN + sqrtQN' qNx
-        gx[:, :, ls:] = vcxN_ref[:] + _mm(sqrtQN.T, vqNx_ref[:])
+        gx[:, :, ls:] = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
+        # stage loops: round the per-stage child-sum temps through scratch so
+        # every add sees canonical (offset-0) operands.  gq/gs are free here
+        # (first written by the Riccati phase below).
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            tmp = _mm(sqrtQ.T, vqx_ref[:, :, lo : lo + d * m])
-            acc = tmp[:, :, 0:m]
+            gq[:, :, 0 : d * m] = _mm(
+                sqrtQT_ref[:], vqx_ref[:, :, lo : lo + d * m]
+            )
+            acc = gq[:, :, 0:m]
             for k in range(1, d):
-                acc = acc + tmp[:, :, k * m : (k + 1) * m]
+                acc = acc + gq[:, :, k * m : (k + 1) * m]
             gx[:, :, off[st - 1] : off[st - 1] + m] = (
                 gx[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
@@ -136,120 +169,111 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            tmp = _mm(sqrtR.T, vru_ref[:, :, lo : lo + d * m])
-            acc = tmp[:, :, 0:m]
+            gs[:, :, 0 : d * m] = _mm(
+                sqrtRT_ref[:], vru_ref[:, :, lo : lo + d * m]
+            )
+            acc = gs[:, :, 0:m]
             for k in range(1, d):
-                acc = acc + tmp[:, :, k * m : (k + 1) * m]
+                acc = acc + gs[:, :, k * m : (k + 1) * m]
             gu[:, :, off[st - 1] : off[st - 1] + m] = (
                 gu[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
         # z1 for x,u (overwrite scratch with z - gamma * LT)
         gx[:] = zx_ref[:] - gamma * gx[:]
         gu[:] = zu_ref[:] - gamma * gu[:]
-        # s, tau, y (kept as values)
-        lt_s_nl = vsby_ref[:]
-        lt_s_lf = 0.5 * (vs12_ref[:] + vs13_ref[:])
-        s1_nl = zs_ref[:, :n_nl] - gamma * lt_s_nl
-        s1_lf = zs_ref[:, ls:] - gamma * lt_s_lf
-        tau1 = ztau_ref[:] - gamma * 0.5 * (vt5_ref[:] + vt6_ref[:])
-        vsby_v = vsby_ref[:]
-        y1 = zy_ref[:] - gamma * (
-            vy_ref[:] - bvec[:, :, None] * vsby_v[:, None, :]
-        )
+        # s, tau, y — store the pre-projection values in gss/gtt for the
+        # offset-shifting S2 gather below
+        lt_s_lf = 0.5 * (vs12_v + vs13_v)
+        gss[:, :, :n_nl] = zs_ref[:, :, :n_nl] - gamma * vsby_v
+        gss[:, :, ls:] = zs_ref[:, :, ls:] - gamma * lt_s_lf
+        gtt[:] = ztau_v - gamma * 0.5 * (vt5_v + vt6_v)
+        y1 = zy_ref[:] - gamma * (vy_ref[:] - b3 * vsby_v)
 
         # ============ prox_f ============
-        # s_root -= gamma
-        s1_nl_root = s1_nl[:, 0:1] - gamma
         # ---- S1 Riccati: backward ----
+        # Child matrices are stacked host-side ([B_1'|...|B_d'] etc.) so each
+        # stage costs 4 dots regardless of d: MXU rows up to 128 are free.
         gq[:, :, ls:] = -gx[:, :, ls:]
         for st in range(N - 2, -1, -1):
             m = msz[st]
-            Kt = Kst_ref[st]
-            Rti = Rti_ref[st]
             u_st = gu[:, :, off[st] : off[st] + m]
-            # sum over children of B' q_child
-            sum_d = None
+            # gather the d child costates into sublane-stacked layout
             for k in range(d):
-                qk = gq[:, :, off[st + 1] + k * m : off[st + 1] + (k + 1) * m]
-                term = _mm(Bdyn_ref[k].T, qk)
-                sum_d = term if sum_d is None else sum_d + term
-            dv = _mm(Rti, u_st - sum_d)
+                gst[:, k * nx : (k + 1) * nx, 0:m] = gq[
+                    :, :, off[st + 1] + k * m : off[st + 1] + (k + 1) * m
+                ]
+            qstk = gst[:, :, 0:m]  # [bt, d*nx, m]
+            sum_d = _mm(BTall_ref[:], qstk)
+            dv = _mm(Rti_ref[st], u_st - sum_d)
             gs[:, :, off[st] : off[st] + m] = dv  # stash dvec in gs (nu rows)
-            qi = None
-            for k in range(d):
-                qk = gq[:, :, off[st + 1] + k * m : off[st + 1] + (k + 1) * m]
-                inner = _mm(PB_ref[st, k], dv) + qk
-                term = _mm(ABK_ref[st, k].T, inner)
-                qi = term if qi is None else qi + term
-            qi = qi + _mm(Kt.T, dv - u_st)
+            innerstk = _mm(PBstk_ref[st], dv) + qstk
+            qi = _mm(ABKTall_ref[st], innerstk) + _mm(
+                KstT_ref[st], dv - u_st
+            )
             gq[:, :, off[st] : off[st] + m] = qi - gx[:, :, off[st] : off[st] + m]
         # ---- S1 forward ----
-        gx[:, :, 0:1] = x0_ref[:][:, :, None]
+        gx[:, :, 0:1] = x0_ref[:]
         for st in range(N - 1):
             m = msz[st]
             x_st = gx[:, :, off[st] : off[st] + m]
             dv = gs[:, :, off[st] : off[st] + m]
-            u_st = _mm(Kst_ref[st], x_st) + dv
-            gu[:, :, off[st] : off[st] + m] = u_st
+            gu[:, :, off[st] : off[st] + m] = _mm(Kst_ref[st], x_st) + dv
+            # all d children in one dot: [ABK_k | B_k] rows stacked
+            gst[:, 0:nx, 0:m] = x_st
+            gst[:, nx : nx + nu, 0:m] = dv
+            gst2[:, :, 0:m] = _mm(ABKBall_ref[st], gst[:, 0 : nx + nu, 0:m])
             for k in range(d):
                 gx[:, :, off[st + 1] + k * m : off[st + 1] + (k + 1) * m] = (
-                    _mm(ABK_ref[st, k], x_st) + _mm(Bdyn_ref[k], dv)
+                    gst2[:, k * nx : (k + 1) * nx, 0:m]
                 )
         # ---- S2 kernel projection ----
-        # vec rows: [y (ny); s_child (d); tau_child (d)] per non-leaf column
-        # build in a values array [bt, mker, n_nl]
-        rows = [y1]
-        schild = []
-        tchild = []
-        for st in range(1, N):
-            m = msz[st - 1]
-            lo = off[st] - 1
-            if st < N - 1:
-                sblk = s1_nl[:, off[st] : off[st] + d * m]
-            else:
-                sblk = s1_lf
-            schild.append(sblk.reshape(sblk.shape[0], d, m))
-            tblk = tau1[:, lo : lo + d * m]
-            tchild.append(tblk.reshape(tblk.shape[0], d, m))
-        rows.append(jnp.concatenate(schild, axis=-1))
-        rows.append(jnp.concatenate(tchild, axis=-1))
-        vec = jnp.concatenate(rows, axis=-2)  # [bt, mker, n_nl]
-        out = _mm(ker, vec)
-        y_p = out[:, :ny, :]
-        s_ch = out[:, ny : ny + d, :]
-        t_ch = out[:, ny + d :, :]
-        # scatter back per stage
-        s_nl_parts = [s1_nl_root]
-        tau_parts = []
-        s_lf_val = None
+        # Build vec rows [y (ny); s_child (d); tau_child (d)] per non-leaf
+        # column in gk via scratch->scratch copies (sibling-major order makes
+        # every child block one contiguous lane slice).
+        gk[:, :ny, :] = y1
         coff = 0
         for st in range(1, N):
             m = msz[st - 1]
-            sblk = s_ch[:, :, coff : coff + m].reshape(s_ch.shape[0], d * m)
-            tblk = t_ch[:, :, coff : coff + m].reshape(t_ch.shape[0], d * m)
-            tau_parts.append(tblk)
-            if st < N - 1:
-                s_nl_parts.append(sblk)
-            else:
-                s_lf_val = sblk
+            lo = off[st] - 1
+            for k in range(d):
+                gk[:, ny + k : ny + k + 1, coff : coff + m] = gss[
+                    :, :, off[st] + k * m : off[st] + (k + 1) * m
+                ]
+                gk[:, ny + d + k : ny + d + k + 1, coff : coff + m] = gtt[
+                    :, :, lo + k * m : lo + (k + 1) * m
+                ]
             coff += m
-        s_nl_val = jnp.concatenate(s_nl_parts, axis=-1)  # [bt, n_nl]
-        tau_val = jnp.concatenate(tau_parts, axis=-1)
+        gk2[:] = _mm(ker, gk[:])
+        # scatter back: y_p from rows [0, ny); s/tau from child rows
+        y_p = gk2[:, :ny, :]
+        # s_root: shifted by -gamma (linear objective), not S2-projected
+        ozs[:, :, 0:1] = gss[:, :, 0:1] - gamma
+        coff = 0
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            for k in range(d):
+                ozs[:, :, off[st] + k * m : off[st] + (k + 1) * m] = gk2[
+                    :, ny + k : ny + k + 1, coff : coff + m
+                ]
+                oztau[:, :, lo + k * m : lo + (k + 1) * m] = gk2[
+                    :, ny + d + k : ny + d + k + 1, coff : coff + m
+                ]
+            coff += m
 
-        # write zbar outputs
+        # write remaining zbar outputs
         ozx[:] = gx[:]
         ozu[:] = gu[:]
-        ozs[:, :n_nl] = s_nl_val
-        ozs[:, ls:] = s_lf_val
-        oztau[:] = tau_val
         ozy[:] = y_p
+        s_nl_val = ozs[:, :, :n_nl]
+        s_lf_val = ozs[:, :, ls:]
+        tau_val = oztau[:]
 
         # ============ vbar = prox_h*(v + sigma L (2 zbar - z)) ============
-        rx = 2.0 * gx[:] - zx_ref[:]
         ru_ = 2.0 * gu[:] - zu_ref[:]
-        rs_nl = 2.0 * s_nl_val - zs_ref[:, :n_nl]
-        rs_lf = 2.0 * s_lf_val - zs_ref[:, ls:]
-        rtau = 2.0 * tau_val - ztau_ref[:]
+        rs_nl = 2.0 * s_nl_val - zs_ref[:, :, :n_nl]
+        rs_lf = 2.0 * s_lf_val - zs_ref[:, :, ls:]
+        rtau = 2.0 * tau_val - ztau_v
         ry = 2.0 * y_p - zy_ref[:]
 
         inv = 1.0 / sigma
@@ -267,55 +291,59 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
                 py = jnp.where(mseg, 0.0, py)
         ovy[:] = sigma * (wy - py)
         # --- sby
-        bty = jnp.sum(bvec[:, :, None] * ry, axis=1)  # b' y(refl)
-        wsby = vsby_ref[:] * inv + (rs_nl - bty)
+        bty = jnp.sum(b3 * ry, axis=1, keepdims=True)
+        wsby = vsby_v * inv + (rs_nl - bty)
         ovsby[:] = sigma * (wsby - jnp.maximum(wsby, 0.0))
         # --- non-root SOC blocks: qx/ru/t5/t6 of L(refl)
-        # L qx block = sqrtQ x_parent(refl); build per stage then concat
-        qx_parts = []
-        ru_parts = []
+        # L qx block = sqrtQ x_parent(refl), replicated to each child slice
+        # via stores into gqx/gru (parent slices re-loaded from refs/scratch
+        # so every matmul operand is canonical)
         for st in range(1, N):
             m = msz[st - 1]
-            xp = rx[:, :, off[st - 1] : off[st - 1] + m]
-            up = ru_[:, :, off[st - 1] : off[st - 1] + m]
+            lo = off[st] - 1
+            po = off[st - 1]
+            xp = 2.0 * gx[:, :, po : po + m] - zx_ref[:, :, po : po + m]
+            up = 2.0 * gu[:, :, po : po + m] - zu_ref[:, :, po : po + m]
             qxp = _mm(sqrtQ, xp)
             rup = _mm(sqrtR, up)
-            qx_parts.append(jnp.concatenate([qxp] * d, axis=-1))
-            ru_parts.append(jnp.concatenate([rup] * d, axis=-1))
-        lqx = jnp.concatenate(qx_parts, axis=-1)
-        lru = jnp.concatenate(ru_parts, axis=-1)
-        wqx = vqx_ref[:] * inv + lqx
-        wru = vru_ref[:] * inv + lru
-        wt5 = vt5_ref[:] * inv + 0.5 * rtau - 0.5
-        wt6 = vt6_ref[:] * inv + 0.5 * rtau + 0.5
+            for k in range(d):
+                gqx[:, :, lo + k * m : lo + (k + 1) * m] = qxp
+                gru[:, :, lo + k * m : lo + (k + 1) * m] = rup
+        wqx = vqx_ref[:] * inv + gqx[:]
+        wru = vru_ref[:] * inv + gru[:]
+        wt5 = vt5_v * inv + 0.5 * rtau - 0.5
+        wt6 = vt6_v * inv + 0.5 * rtau + 0.5
         xn_sq = (
-            jnp.sum(wqx * wqx, axis=1) + jnp.sum(wru * wru, axis=1) + wt5 * wt5
+            jnp.sum(wqx * wqx, axis=1, keepdims=True)
+            + jnp.sum(wru * wru, axis=1, keepdims=True)
+            + wt5 * wt5
         )
-        t_out, x_scale = _soc_pieces(wt6, xn_sq)
+        t_out, x_scale = _soc_pieces(wt6, xn_sq)  # [bt, 1, n_nr]
         ovt6[:] = sigma * (wt6 - t_out)
-        xs = x_scale[:, None, :]
-        ovqx[:] = sigma * (wqx - xs * wqx)
-        ovru[:] = sigma * (wru - xs * wru)
+        ovqx[:] = sigma * (wqx - x_scale * wqx)
+        ovru[:] = sigma * (wru - x_scale * wru)
         ovt5[:] = sigma * (wt5 - x_scale * wt5)
-        # --- leaf SOC: qNx/s12/s13
-        wqNx = vqNx_ref[:] * inv + _mm(sqrtQN, rx[:, :, ls:])
-        ws12 = vs12_ref[:] * inv + 0.5 * rs_lf - 0.5
-        ws13 = vs13_ref[:] * inv + 0.5 * rs_lf + 0.5
-        xn_sq_l = jnp.sum(wqNx * wqNx, axis=1) + ws12 * ws12
+        # --- leaf SOC: qNx/s12/s13 (leaf slice re-loaded, not register-cut)
+        rx_lf = 2.0 * gx[:, :, ls:] - zx_ref[:, :, ls:]
+        wqNx = vqNx_ref[:] * inv + _mm(sqrtQN, rx_lf)
+        ws12 = vs12_v * inv + 0.5 * rs_lf - 0.5
+        ws13 = vs13_v * inv + 0.5 * rs_lf + 0.5
+        xn_sq_l = jnp.sum(wqNx * wqNx, axis=1, keepdims=True) + ws12 * ws12
         tl_out, xl_scale = _soc_pieces(ws13, xn_sq_l)
         ovs13[:] = sigma * (ws13 - tl_out)
-        ovqNx[:] = sigma * (wqNx - xl_scale[:, None, :] * wqNx)
+        ovqNx[:] = sigma * (wqNx - xl_scale * wqNx)
         ovs12[:] = sigma * (ws12 - xl_scale * ws12)
-        # --- boxes
-        xmin = xmin_ref[:].reshape(1, nx, 1)
-        xmax = xmax_ref[:].reshape(1, nx, 1)
-        umin = umin_ref[:].reshape(1, nu, 1)
-        umax = umax_ref[:].reshape(1, nu, 1)
-        wcx = vcx_ref[:] * inv + rx[:, :, :n_nl]
+        # --- boxes (bounds travel as [nx, 1] 2D constants)
+        xmin = xmin_ref[:][None]
+        xmax = xmax_ref[:][None]
+        umin = umin_ref[:][None]
+        umax = umax_ref[:][None]
+        rx_nl = 2.0 * gx[:, :, :n_nl] - zx_ref[:, :, :n_nl]
+        wcx = vcx_ref[:] * inv + rx_nl
         ovcx[:] = sigma * (wcx - jnp.clip(wcx, xmin, xmax))
         wcu = vcu_ref[:] * inv + ru_
         ovcu[:] = sigma * (wcu - jnp.clip(wcu, umin, umax))
-        wcxN = vcxN_ref[:] * inv + rx[:, :, ls:]
+        wcxN = vcxN_ref[:] * inv + rx_lf
         ovcxN[:] = sigma * (wcxN - jnp.clip(wcxN, xmin, xmax))
 
     return kernel
@@ -358,9 +386,11 @@ def cp_sweep_fused(
     kernel = _make_kernel(meta, tuple(segs))
 
     def lane(f_dim, n_dim):
+        # Mosaic requires the last two block dims to be aligned or full-size;
+        # per-lane vectors therefore travel as [B, 1, n] (f_dim None) and x0
+        # as [B, nx, 1], so every lane block is (bt, full, full).
         if f_dim is None:
-            return pl.BlockSpec((bt, n_dim), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
+            f_dim = 1
         return pl.BlockSpec((bt, f_dim, n_dim), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -370,20 +400,43 @@ def cp_sweep_fused(
 
     smem = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
 
+    d = t.d
     Kst = jnp.stack([k[0] for k in data.ric.K])  # [N-1, nu, nx]
     Rti = jnp.stack([r[0] for r in data.ric.Rtinv])
     ABK = jnp.stack([a[0] for a in data.ric.ABK])  # [N-1, d, nx, nx]
     PB = jnp.stack([p[0] for p in data.ric.PB])
+    KstT = Kst.transpose(0, 2, 1)
+    sQ, sR, sQN = data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0]
+    # child-stacked Riccati matrices (one dot per stage instead of d):
+    BTall = jnp.concatenate(
+        [data.B[k].T for k in range(d)], axis=1
+    )  # [nu, d*nx]
+    PBstk = jnp.concatenate(
+        [PB[:, k] for k in range(d)], axis=1
+    )  # [N-1, d*nx, nu]
+    ABKTall = jnp.concatenate(
+        [ABK[:, k].transpose(0, 2, 1) for k in range(d)], axis=2
+    )  # [N-1, nx, d*nx]
+    ABKstk = jnp.concatenate(
+        [ABK[:, k] for k in range(d)], axis=1
+    )  # [N-1, d*nx, nx]
+    Bstk = jnp.concatenate([data.B[k] for k in range(d)], axis=0)
+    ABKBall = jnp.concatenate(
+        [ABKstk, jnp.broadcast_to(Bstk, (ABKstk.shape[0],) + Bstk.shape)],
+        axis=2,
+    )  # [N-1, d*nx, nx+nu]
 
     mker = ny + 2 * t.d
     in_specs = [
         smem,
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
-        const((1, ny)), const((mker, mker)),
-        const(Kst.shape), const(Rti.shape), const(ABK.shape), const(PB.shape),
-        const(data.B.shape),
-        const((nx,)), const((nx,)), const((nu,)), const((nu,)),
-        lane(None, nx),  # x0 -> [bt, nx]
+        const((nx, nx)), const((nu, nu)), const((nx, nx)),
+        const((ny, 1)), const((mker, mker)),
+        const(Kst.shape), const(KstT.shape), const(Rti.shape),
+        const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
+        const(ABKBall.shape),
+        const((nx, 1)), const((nx, 1)), const((nu, 1)), const((nu, 1)),
+        lane(nx, 1),  # x0 -> [bt, nx, 1]
         lane(nx, n), lane(nu, n_nl), lane(None, n), lane(None, n_nr),
         lane(ny, n_nl),
         lane(ny, n_nl), lane(None, n_nl), lane(nx, n_nr), lane(nu, n_nr),
@@ -400,27 +453,37 @@ def cp_sweep_fused(
     out_shape = [
         jax.ShapeDtypeStruct((B, nx, n), dtype),
         jax.ShapeDtypeStruct((B, nu, n_nl), dtype),
-        jax.ShapeDtypeStruct((B, n), dtype),
-        jax.ShapeDtypeStruct((B, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, 1, n), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
         jax.ShapeDtypeStruct((B, ny, n_nl), dtype),
         jax.ShapeDtypeStruct((B, ny, n_nl), dtype),
-        jax.ShapeDtypeStruct((B, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nl), dtype),
         jax.ShapeDtypeStruct((B, nx, n_nr), dtype),
         jax.ShapeDtypeStruct((B, nu, n_nr), dtype),
-        jax.ShapeDtypeStruct((B, n_nr), dtype),
-        jax.ShapeDtypeStruct((B, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
         jax.ShapeDtypeStruct((B, nx, n_nl), dtype),
         jax.ShapeDtypeStruct((B, nu, n_nl), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
-        jax.ShapeDtypeStruct((B, n_lf), dtype),
-        jax.ShapeDtypeStruct((B, n_lf), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
     ]
     scratch = [
         pltpu.VMEM((bt, nx, n), dtype),  # gx
         pltpu.VMEM((bt, nu, n_nl), dtype),  # gu
-        pltpu.VMEM((bt, nx, n), dtype),  # gq (costate)
-        pltpu.VMEM((bt, max(nu, 1), n_nl), dtype),  # gs (dvec stash)
+        pltpu.VMEM((bt, nx, n), dtype),  # gq (costate / L' temp)
+        pltpu.VMEM((bt, max(nu, 1), max(n_nl, n_lf)), dtype),  # gs (dvec / L' temp)
+        pltpu.VMEM((bt, mker, n_nl), dtype),  # gk (S2 gather)
+        pltpu.VMEM((bt, mker, n_nl), dtype),  # gk2 (S2 projected)
+        pltpu.VMEM((bt, 1, n), dtype),  # gss (s pre-projection)
+        pltpu.VMEM((bt, 1, n_nr), dtype),  # gtt (tau pre-projection)
+        pltpu.VMEM((bt, nx, n_nr), dtype),  # gqx (L qx block)
+        pltpu.VMEM((bt, max(nu, 1), n_nr), dtype),  # gru (L ru block)
+        pltpu.VMEM(
+            (bt, max(t.d * nx, nx + nu), max(n_lf // t.d, 1)), dtype
+        ),  # gst (child-stack gather / [x; dv])
+        pltpu.VMEM((bt, t.d * nx, max(n_lf // t.d, 1)), dtype),  # gst2
     ]
 
     outs = pl.pallas_call(
@@ -433,19 +496,23 @@ def cp_sweep_fused(
         interpret=interpret,
     )(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
-        data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0],
-        data.b, data.ker_proj[0],
-        Kst, Rti, ABK, PB, data.B,
-        data.x_min, data.x_max, data.u_min, data.u_max,
-        x0,
-        z.x, z.u, z.s, z.tau, z.y,
-        v.y, v.sby, v.qx, v.ru, v.t5, v.t6,
-        v.cx, v.cu, v.qNx, v.s12, v.s13, v.cxN,
+        sQ, sR, sQN, sQ.T, sR.T, sQN.T,
+        data.b[0][:, None], data.ker_proj[0],
+        Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
+        data.x_min[:, None], data.x_max[:, None],
+        data.u_min[:, None], data.u_max[:, None],
+        x0[:, :, None],
+        z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
+        v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
+        v.t6[:, None, :],
+        v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
     )
-    zbar = Primal(x=outs[0], u=outs[1], s=outs[2], tau=outs[3], y=outs[4])
+    sq = lambda a: a[:, 0, :]
+    zbar = Primal(x=outs[0], u=outs[1], s=sq(outs[2]), tau=sq(outs[3]),
+                  y=outs[4])
     vbar = Dual(
-        y=outs[5], sby=outs[6], qx=outs[7], ru=outs[8], t5=outs[9],
-        t6=outs[10], cx=outs[11], cu=outs[12], qNx=outs[13], s12=outs[14],
-        s13=outs[15], cxN=outs[16], pnl=None, plf=None,
+        y=outs[5], sby=sq(outs[6]), qx=outs[7], ru=outs[8], t5=sq(outs[9]),
+        t6=sq(outs[10]), cx=outs[11], cu=outs[12], qNx=outs[13],
+        s12=sq(outs[14]), s13=sq(outs[15]), cxN=outs[16], pnl=None, plf=None,
     )
     return zbar, vbar
