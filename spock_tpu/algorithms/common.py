@@ -14,10 +14,10 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.linop import apply_L, apply_LT
+from ..ops.linop import apply_L, apply_LT, metric_apply
 from ..ops.prox import prox_f, prox_h_conj
 from ..ops import pallas_kernels, pallas_sweep
-from ..zv import Dual, Primal, inf_norm, lincomb, tmap
+from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap
 
 
 def register(cls):
@@ -68,6 +68,33 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     else:
         vbar = prox_h_conj(data, meta, v1, sigma)
     return zbar, vbar
+
+
+def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
+    """One CP sweep plus the metric image of its fixed-point residual:
+    returns ``(zbar, vbar, Mrz, Mrv)`` with ``(Mrz, Mrv) = M (z - zbar,
+    v - vbar)``.  On the megakernel path both ride one Pallas launch; the
+    fallback is cp_sweep followed by metric_apply (one extra L/L' pair)."""
+    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+        return pallas_sweep.cp_sweep_metric_fused(
+            data, meta, z, v, gamma, sigma, x0,
+            interpret=jax.default_backend() == "cpu",
+        )
+    zbar, vbar = cp_sweep(data, meta, z, v, gamma, sigma, x0)
+    Mrz, Mrv = metric_apply(
+        data, meta, sub(z, zbar), sub(v, vbar), gamma, sigma
+    )
+    return zbar, vbar, Mrz, Mrv
+
+
+def metric_pair(data, meta, z: Primal, v: Dual, gamma, sigma):
+    """M (z, v) — fused single-kernel when the megakernel path is on."""
+    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+        return pallas_sweep.metric_apply_fused(
+            data, meta, z, v, gamma, sigma,
+            interpret=jax.default_backend() == "cpu",
+        )
+    return metric_apply(data, meta, z, v, gamma, sigma)
 
 
 def residual_norms(data, meta, dz: Primal, dv: Dual, gamma, sigma):

@@ -32,7 +32,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.linop import metric_apply
 from ..problem import ProblemData, ProblemMeta
 from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap, vdot
 from . import anderson, broyden
@@ -41,7 +40,8 @@ from .common import (
     bexpand,
     bwhere,
     check_termination,
-    cp_sweep,
+    cp_sweep_metric,
+    metric_pair,
     register,
 )
 
@@ -222,10 +222,11 @@ def sp_body(
         x0 = c.x0
         # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
         def fresh_sweep(_):
-            zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+            zbar, vbar, Mrz, Mrv = cp_sweep_metric(
+                data, meta, c.z, c.v, gamma, sigma, x0
+            )
             rz = sub(c.z, zbar)
             rv = sub(c.v, vbar)
-            Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
             rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
             return zbar, vbar, Mrz, Mrv, rnorm
 
@@ -258,7 +259,7 @@ def sp_body(
             r_flat = _ravel_pair(rz, rv)
             y_flat = _ravel_pair(*y_pair)
             s_flat = _ravel_pair(*s_pair)
-            Msz, Msv = metric_apply(
+            Msz, Msv = metric_pair(
                 data, meta, c.dz_prev, c.dv_prev, gamma, sigma
             )
             ps_flat = _ravel_pair(Msz, Msv)
@@ -271,7 +272,7 @@ def sp_body(
             dirstate = ()
 
         # rho needs <r~, M d>; hoist M d out of the backtracking loop.
-        Mdz, Mdv = metric_apply(data, meta, dz, dv, gamma, sigma)
+        Mdz, Mdv = metric_pair(data, meta, dz, dv, gamma, sigma)
         nMdz = inf_norm(Mdz, 1)
         nMdv = inf_norm(Mdv, 1)
 
@@ -309,10 +310,11 @@ def sp_body(
             peeled tau=1 trial reuses them as the next iteration's cache)."""
             w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, c.z, dz)
             u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, c.v, dv)
-            wbar, ubar = cp_sweep(data, meta, w, u, gamma, sigma, x0)
+            wbar, ubar, Mrw, Mru = cp_sweep_metric(
+                data, meta, w, u, gamma, sigma, x0
+            )
             rw = sub(w, wbar)
             ru = sub(u, ubar)
-            Mrw, Mru = metric_apply(data, meta, rw, ru, gamma, sigma)
             rt_sq = jnp.maximum(mdot(rw, ru, Mrw, Mru), 0.0)
             rtilde = jnp.sqrt(rt_sq)
             rho = rt_sq - tau * mdot(rw, ru, Mdz, Mdv)

@@ -99,7 +99,7 @@ def _soc_pieces(t, xn_sq):
     return t_out, x_scale
 
 
-def _make_kernel(meta: ProblemMeta, cone_segments):
+def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
     t = meta.tree
     N, d = t.N, t.d
     nx, nu, ny = meta.nx, meta.nu, meta.ny
@@ -122,13 +122,20 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
         zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
         vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
         vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
-        # outputs: zbar blocks then vbar blocks
-        ozx, ozu, ozs, oztau, ozy,
-        ovy, ovsby, ovqx, ovru, ovt5, ovt6,
-        ovcx, ovcu, ovqNx, ovs12, ovs13, ovcxN,
-        # scratch
-        gx, gu, gq, gs, gk, gk2, gss, gtt, gqx, gru, gst, gst2,
+        # outputs: zbar blocks then vbar blocks (then, with_metric, the
+        # metric image M r of the sweep residual r = (z - zbar, v - vbar));
+        # trailing 12 refs are scratch
+        *rest,
     ):
+        out_refs, (gx, gu, gq, gs, gk, gk2, gss, gtt, gqx, gru, gst, gst2) = (
+            rest[:-12],
+            rest[-12:],
+        )
+        (
+            ozx, ozu, ozs, oztau, ozy,
+            ovy, ovsby, ovqx, ovru, ovt5, ovt6,
+            ovcx, ovcu, ovqNx, ovs12, ovs13, ovcxN,
+        ) = out_refs[:17]
         gamma = scal_ref[0]
         sigma = scal_ref[1]
         sqrtQ = sqrtQ_ref[:]
@@ -346,7 +353,294 @@ def _make_kernel(meta: ProblemMeta, cone_segments):
         wcxN = vcxN_ref[:] * inv + rx_lf
         ovcxN[:] = sigma * (wcxN - jnp.clip(wcxN, xmin, xmax))
 
+        if not with_metric:
+            return
+
+        # ============ metric image of the sweep residual ============
+        #   r  = (rw, ru) = (z - zbar, v - vbar)
+        #   M r = (rw - gamma L' ru,  ru - sigma L rw)
+        # Reapplies the same L / L' block maps to the residual, entirely in
+        # VMEM — replaces the separate metric_apply L/L' pair (~30 XLA
+        # kernels) SuperMann otherwise issues right after every sweep.
+        (
+            omzx, omzu, omzs, omztau, omzy,
+            omvy, omvsby, omvqx, omvru, omvt5, omvt6,
+            omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
+        ) = out_refs[17:]
+        # ---- residual blocks into (reusable) scratch / registers ----
+        gx[:] = zx_ref[:] - gx[:]  # rw.x  (gx held zbar.x)
+        gu[:] = zu_ref[:] - gu[:]  # rw.u
+        gss[:] = zs_ref[:] - ozs[:]  # rw.s
+        gtt[:] = ztau_v - oztau[:]  # rw.tau
+        rwy = zy_ref[:] - y_p  # rw.y
+        gqx[:] = vqx_ref[:] - ovqx[:]  # ru.qx  (gqx/gru free after vbar)
+        gru[:] = vru_ref[:] - ovru[:]  # ru.ru
+        ruy = vy_ref[:] - ovy[:]
+        rusby = vsby_v - ovsby[:]
+        rut5 = vt5_v - ovt5[:]
+        rut6 = vt6_v - ovt6[:]
+        rus12 = vs12_v - ovs12[:]
+        rus13 = vs13_v - ovs13[:]
+        ruqNx = vqNx_ref[:] - ovqNx[:]
+
+        # ---- M r (dual part): ru - sigma * L(rw) ----
+        omvy[:] = ruy - sigma * rwy
+        bty_rw = jnp.sum(b3 * rwy, axis=1, keepdims=True)
+        omvsby[:] = rusby - sigma * (gss[:, :, :n_nl] - bty_rw)
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            po = off[st - 1]
+            qxp = _mm(sqrtQ, gx[:, :, po : po + m])
+            rup = _mm(sqrtR, gu[:, :, po : po + m])
+            for k in range(d):
+                sl = slice(lo + k * m, lo + (k + 1) * m)
+                omvqx[:, :, sl] = gqx[:, :, sl] - sigma * qxp
+                omvru[:, :, sl] = gru[:, :, sl] - sigma * rup
+        omvt5[:] = rut5 - sigma * 0.5 * gtt[:]
+        omvt6[:] = rut6 - sigma * 0.5 * gtt[:]
+        omvcx[:] = (vcx_ref[:] - ovcx[:]) - sigma * gx[:, :, :n_nl]
+        omvcu[:] = (vcu_ref[:] - ovcu[:]) - sigma * gu[:]
+        omvqNx[:] = ruqNx - sigma * _mm(sqrtQN, gx[:, :, ls:])
+        omvs12[:] = rus12 - sigma * 0.5 * gss[:, :, ls:]
+        omvs13[:] = rus13 - sigma * 0.5 * gss[:, :, ls:]
+        omvcxN[:] = (vcxN_ref[:] - ovcxN[:]) - sigma * gx[:, :, ls:]
+
+        # ---- M r (primal part): rw - gamma * L'(ru) ----
+        # accumulate L'(ru).x / .u in the output refs, then finish in place
+        omzx[:, :, :n_nl] = vcx_ref[:] - ovcx[:]
+        omzx[:, :, ls:] = (vcxN_ref[:] - ovcxN[:]) + _mm(sqrtQNT_ref[:], ruqNx)
+        omzu[:] = vcu_ref[:] - ovcu[:]
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            gq[:, :, 0 : d * m] = _mm(
+                sqrtQT_ref[:], gqx[:, :, lo : lo + d * m]
+            )
+            acc = gq[:, :, 0:m]
+            for k in range(1, d):
+                acc = acc + gq[:, :, k * m : (k + 1) * m]
+            omzx[:, :, off[st - 1] : off[st - 1] + m] = (
+                omzx[:, :, off[st - 1] : off[st - 1] + m] + acc
+            )
+            gs[:, :, 0 : d * m] = _mm(
+                sqrtRT_ref[:], gru[:, :, lo : lo + d * m]
+            )
+            accu = gs[:, :, 0:m]
+            for k in range(1, d):
+                accu = accu + gs[:, :, k * m : (k + 1) * m]
+            omzu[:, :, off[st - 1] : off[st - 1] + m] = (
+                omzu[:, :, off[st - 1] : off[st - 1] + m] + accu
+            )
+        omzx[:] = gx[:] - gamma * omzx[:]
+        omzu[:] = gu[:] - gamma * omzu[:]
+        omzs[:, :, :n_nl] = gss[:, :, :n_nl] - gamma * rusby
+        omzs[:, :, ls:] = gss[:, :, ls:] - gamma * 0.5 * (rus12 + rus13)
+        omztau[:] = gtt[:] - gamma * 0.5 * (rut5 + rut6)
+        omzy[:] = rwy - gamma * (ruy - b3 * rusby)
+
     return kernel
+
+
+def _make_metric_kernel(meta: ProblemMeta):
+    """One-kernel M (z, v) = (z - gamma L' v, v - sigma L z).
+
+    The standalone companion of the sweep megakernel's metric phase: applies
+    both implicit-operator passes to an arbitrary (primal, dual) pair in one
+    launch (SuperMann needs this for M d of the quasi-Newton direction,
+    sp.jl:193-222 via spock_dot — ~30 small XLA kernels otherwise)."""
+    t = meta.tree
+    N, d = t.N, t.d
+    nx, nu, ny = meta.nx, meta.nu, meta.ny
+    n, n_nl, ls = t.n, t.n_nonleaf, t.leaf_start
+    off = [t.stage_offset(i) for i in range(N + 1)]
+    msz = [t.stage_size(i) for i in range(N)]
+
+    def kernel(
+        scal_ref,
+        sqrtQ_ref, sqrtR_ref, sqrtQN_ref, sqrtQT_ref, sqrtRT_ref,
+        sqrtQNT_ref, b_ref,
+        zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
+        vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
+        vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
+        omzx, omzu, omzs, omztau, omzy,
+        omvy, omvsby, omvqx, omvru, omvt5, omvt6,
+        omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
+        gq, gs,
+    ):
+        gamma = scal_ref[0]
+        sigma = scal_ref[1]
+        sqrtQ = sqrtQ_ref[:]
+        sqrtR = sqrtR_ref[:]
+        sqrtQN = sqrtQN_ref[:]
+        b3 = b_ref[:][None]
+        zy = zy_ref[:]
+        zs = zs_ref[:]
+        ztau = ztau_ref[:]
+        vsby = vsby_ref[:]
+        vt5 = vt5_ref[:]
+        vt6 = vt6_ref[:]
+        vs12 = vs12_ref[:]
+        vs13 = vs13_ref[:]
+
+        # ---- dual part: v - sigma L z ----
+        omvy[:] = vy_ref[:] - sigma * zy
+        bty = jnp.sum(b3 * zy, axis=1, keepdims=True)
+        omvsby[:] = vsby - sigma * (zs[:, :, :n_nl] - bty)
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            po = off[st - 1]
+            qxp = _mm(sqrtQ, zx_ref[:, :, po : po + m])
+            rup = _mm(sqrtR, zu_ref[:, :, po : po + m])
+            for k in range(d):
+                sl = slice(lo + k * m, lo + (k + 1) * m)
+                omvqx[:, :, sl] = vqx_ref[:, :, sl] - sigma * qxp
+                omvru[:, :, sl] = vru_ref[:, :, sl] - sigma * rup
+        omvt5[:] = vt5 - sigma * 0.5 * ztau
+        omvt6[:] = vt6 - sigma * 0.5 * ztau
+        omvcx[:] = vcx_ref[:] - sigma * zx_ref[:, :, :n_nl]
+        omvcu[:] = vcu_ref[:] - sigma * zu_ref[:]
+        omvqNx[:] = vqNx_ref[:] - sigma * _mm(sqrtQN, zx_ref[:, :, ls:])
+        omvs12[:] = vs12 - sigma * 0.5 * zs[:, :, ls:]
+        omvs13[:] = vs13 - sigma * 0.5 * zs[:, :, ls:]
+        omvcxN[:] = vcxN_ref[:] - sigma * zx_ref[:, :, ls:]
+
+        # ---- primal part: z - gamma L' v (accumulate L'v in the outputs) ----
+        omzx[:, :, :n_nl] = vcx_ref[:]
+        omzx[:, :, ls:] = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
+        omzu[:] = vcu_ref[:]
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            gq[:, :, 0 : d * m] = _mm(
+                sqrtQT_ref[:], vqx_ref[:, :, lo : lo + d * m]
+            )
+            acc = gq[:, :, 0:m]
+            for k in range(1, d):
+                acc = acc + gq[:, :, k * m : (k + 1) * m]
+            omzx[:, :, off[st - 1] : off[st - 1] + m] = (
+                omzx[:, :, off[st - 1] : off[st - 1] + m] + acc
+            )
+            gs[:, :, 0 : d * m] = _mm(
+                sqrtRT_ref[:], vru_ref[:, :, lo : lo + d * m]
+            )
+            accu = gs[:, :, 0:m]
+            for k in range(1, d):
+                accu = accu + gs[:, :, k * m : (k + 1) * m]
+            omzu[:, :, off[st - 1] : off[st - 1] + m] = (
+                omzu[:, :, off[st - 1] : off[st - 1] + m] + accu
+            )
+        omzx[:] = zx_ref[:] - gamma * omzx[:]
+        omzu[:] = zu_ref[:] - gamma * omzu[:]
+        omzs[:, :, :n_nl] = zs[:, :, :n_nl] - gamma * vsby
+        omzs[:, :, ls:] = zs[:, :, ls:] - gamma * 0.5 * (vs12 + vs13)
+        omztau[:] = ztau - gamma * 0.5 * (vt5 + vt6)
+        omzy[:] = zy - gamma * (vy_ref[:] - b3 * vsby)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def metric_apply_fused(
+    data: ProblemData,
+    meta: ProblemMeta,
+    z: Primal,
+    v: Dual,
+    gamma,
+    sigma,
+    interpret: bool = False,
+):
+    """One-kernel M (z, v); same math as ops.linop.metric_apply on the
+    supported problem class."""
+    t = meta.tree
+    nx, nu, ny = meta.nx, meta.nu, meta.ny
+    n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
+    B = z.s.shape[0]
+    bt = 1
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0 and _per_lane_bytes(meta) * cand <= _VMEM_BUDGET:
+            bt = cand
+            break
+    grid = (B // bt,)
+    dtype = z.s.dtype
+    kernel = _make_metric_kernel(meta)
+
+    def lane(f_dim, n_dim):
+        if f_dim is None:
+            f_dim = 1
+        return pl.BlockSpec((bt, f_dim, n_dim), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
+    sQ, sR, sQN = data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0]
+
+    pair_specs = [
+        lane(nx, n), lane(nu, n_nl), lane(None, n), lane(None, n_nr),
+        lane(ny, n_nl),
+        lane(ny, n_nl), lane(None, n_nl), lane(nx, n_nr), lane(nu, n_nr),
+        lane(None, n_nr), lane(None, n_nr), lane(nx, n_nl), lane(nu, n_nl),
+        lane(nx, n_lf), lane(None, n_lf), lane(None, n_lf), lane(nx, n_lf),
+    ]
+    pair_shapes = [
+        jax.ShapeDtypeStruct((B, nx, n), dtype),
+        jax.ShapeDtypeStruct((B, nu, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, 1, n), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, ny, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, ny, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, nx, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, nu, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_nr), dtype),
+        jax.ShapeDtypeStruct((B, nx, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, nu, n_nl), dtype),
+        jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
+        jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
+        jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
+    ]
+    in_specs = [
+        smem,
+        const((nx, nx)), const((nu, nu)), const((nx, nx)),
+        const((nx, nx)), const((nu, nu)), const((nx, nx)),
+        const((ny, 1)),
+    ] + pair_specs
+    scratch = [
+        pltpu.VMEM((bt, nx, n), dtype),  # gq
+        pltpu.VMEM((bt, max(nu, 1), max(n_nl, n_lf)), dtype),  # gs
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pair_specs,
+        out_shape=pair_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
+        sQ, sR, sQN, sQ.T, sR.T, sQN.T,
+        data.b[0][:, None],
+        z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
+        v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
+        v.t6[:, None, :],
+        v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
+    )
+    sq = lambda a: a[:, 0, :]
+    mz = Primal(x=outs[0], u=outs[1], s=sq(outs[2]), tau=sq(outs[3]),
+                y=outs[4])
+    mv = Dual(
+        y=outs[5], sby=sq(outs[6]), qx=outs[7], ru=outs[8], t5=sq(outs[9]),
+        t6=sq(outs[10]), cx=outs[11], cu=outs[12], qNx=outs[13],
+        s12=sq(outs[14]), s13=sq(outs[15]), cxN=outs[16], pnl=None, plf=None,
+    )
+    return mz, mv
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
@@ -362,8 +656,44 @@ def cp_sweep_fused(
 ):
     """One-kernel cp_sweep; returns (zbar, vbar).  Same math as
     algorithms.common.cp_sweep on the supported problem class."""
-    from ..risks import ConeSpec  # noqa: F401
+    return _sweep_impl(
+        data, meta, z, v, gamma, sigma, x0, False, interpret
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def cp_sweep_metric_fused(
+    data: ProblemData,
+    meta: ProblemMeta,
+    z: Primal,
+    v: Dual,
+    gamma,
+    sigma,
+    x0,
+    interpret: bool = False,
+):
+    """cp_sweep + the metric image of its fixed-point residual, one kernel.
+
+    Returns ``(zbar, vbar, Mrz, Mrv)`` with ``(Mrz, Mrv) = M (z - zbar,
+    v - vbar)`` — what SuperMann needs after every sweep (sp.jl:133-164
+    computes it with a separate spock_dot L/L' pair; here it rides the
+    same VMEM residency as the sweep itself)."""
+    return _sweep_impl(
+        data, meta, z, v, gamma, sigma, x0, True, interpret
+    )
+
+
+def _sweep_impl(
+    data: ProblemData,
+    meta: ProblemMeta,
+    z: Primal,
+    v: Dual,
+    gamma,
+    sigma,
+    x0,
+    with_metric: bool,
+    interpret: bool,
+):
     t = meta.tree
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
@@ -383,7 +713,7 @@ def cp_sweep_fused(
         segs.append((kind, o, o + dim))
         o += dim
 
-    kernel = _make_kernel(meta, tuple(segs))
+    kernel = _make_kernel(meta, tuple(segs), with_metric=with_metric)
 
     def lane(f_dim, n_dim):
         # Mosaic requires the last two block dims to be aligned or full-size;
@@ -469,6 +799,10 @@ def cp_sweep_fused(
         jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
     ]
+    if with_metric:
+        # M r outputs: same block structure as (zbar, vbar)
+        out_specs = out_specs + out_specs
+        out_shape = out_shape + out_shape
     scratch = [
         pltpu.VMEM((bt, nx, n), dtype),  # gx
         pltpu.VMEM((bt, nu, n_nl), dtype),  # gu
@@ -508,11 +842,18 @@ def cp_sweep_fused(
         v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
     )
     sq = lambda a: a[:, 0, :]
-    zbar = Primal(x=outs[0], u=outs[1], s=sq(outs[2]), tau=sq(outs[3]),
-                  y=outs[4])
-    vbar = Dual(
-        y=outs[5], sby=sq(outs[6]), qx=outs[7], ru=outs[8], t5=sq(outs[9]),
-        t6=sq(outs[10]), cx=outs[11], cu=outs[12], qNx=outs[13],
-        s12=sq(outs[14]), s13=sq(outs[15]), cxN=outs[16], pnl=None, plf=None,
-    )
-    return zbar, vbar
+
+    def unpack(o):
+        zpart = Primal(x=o[0], u=o[1], s=sq(o[2]), tau=sq(o[3]), y=o[4])
+        vpart = Dual(
+            y=o[5], sby=sq(o[6]), qx=o[7], ru=o[8], t5=sq(o[9]),
+            t6=sq(o[10]), cx=o[11], cu=o[12], qNx=o[13],
+            s12=sq(o[14]), s13=sq(o[15]), cxN=o[16], pnl=None, plf=None,
+        )
+        return zpart, vpart
+
+    zbar, vbar = unpack(outs[:17])
+    if not with_metric:
+        return zbar, vbar
+    Mrz, Mrv = unpack(outs[17:])
+    return zbar, vbar, Mrz, Mrv
