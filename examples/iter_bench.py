@@ -57,11 +57,40 @@ def main():
     gamma = sigma = jnp.float32(step)
     tol = jnp.float32(1e-3)
 
+    from spock_tpu.algorithms.common import cp_sweep_metric, metric_pair
+    from spock_tpu.algorithms import anderson
+    from spock_tpu.zv import inf_norm, sub, vdot
+
     f_sweep = jax.jit(
         lambda z, v: cp_sweep(data, meta, z, v, gamma, sigma, x0)
     )
     f_metric = jax.jit(
         lambda z, v: metric_apply(data, meta, z, v, gamma, sigma)
+    )
+    f_swm = jax.jit(
+        lambda z, v: cp_sweep_metric(data, meta, z, v, gamma, sigma, x0)
+    )
+    f_mpair = jax.jit(
+        lambda z, v: metric_pair(data, meta, z, v, gamma, sigma)
+    )
+
+    # Anderson direction on fixed flat history (slot write + Gram + combine)
+    from spock_tpu.algorithms.supermann import _ravel_pair
+
+    K = _ravel_pair(z, v).shape[-1]
+    MRf = jnp.asarray(rng.standard_normal((B, 3, K)), jnp.float32)
+
+    def aa(zz, vv, slot):
+        r_flat = _ravel_pair(zz, vv)
+        MR = jax.lax.dynamic_update_slice_in_dim(
+            MRf, r_flat[:, None, :], slot, axis=1
+        )
+        return anderson.direction_flat(MR, MR, r_flat)
+
+    f_aa = jax.jit(aa)
+    f_norms = jax.jit(
+        lambda z, v: (inf_norm(z, 1), inf_norm(v, 1),
+                      vdot(z, z, 1) + vdot(v, v, 1))
     )
 
     body = supermann.sp_body(data, meta, tol)
@@ -70,15 +99,23 @@ def main():
 
     t_sweep = timeit(f_sweep, z, v)
     t_metric = timeit(f_metric, z, v)
+    t_swm = timeit(f_swm, z, v)
+    t_mpair = timeit(f_mpair, z, v)
+    t_aa = timeit(f_aa, z, v, jnp.int32(1))
+    t_norms = timeit(f_norms, z, v)
     c1 = f_body(carry0)
     t_body = timeit(f_body, c1)
 
-    print(f"cp_sweep:     {t_sweep*1e3:8.3f} ms", flush=True)
-    print(f"metric_apply: {t_metric*1e3:8.3f} ms", flush=True)
-    print(f"sp_body:      {t_body*1e3:8.3f} ms", flush=True)
+    print(f"cp_sweep:        {t_sweep*1e3:8.3f} ms", flush=True)
+    print(f"metric_apply:    {t_metric*1e3:8.3f} ms", flush=True)
+    print(f"cp_sweep_metric: {t_swm*1e3:8.3f} ms", flush=True)
+    print(f"metric_pair:     {t_mpair*1e3:8.3f} ms", flush=True)
+    print(f"aa_direction:    {t_aa*1e3:8.3f} ms", flush=True)
+    print(f"norms+dot pass:  {t_norms*1e3:8.3f} ms", flush=True)
+    print(f"sp_body:         {t_body*1e3:8.3f} ms", flush=True)
     print(
-        f"residual (body - 2*sweep - 3*metric): "
-        f"{(t_body - 2*t_sweep - 3*t_metric)*1e3:8.3f} ms",
+        f"glue (body - swm - mpair - swm - aa): "
+        f"{(t_body - 2*t_swm - t_mpair - t_aa)*1e3:8.3f} ms",
         flush=True,
     )
 

@@ -28,6 +28,30 @@ import jax.numpy as jnp
 from ..zv import tmap
 
 
+def direction_flat(MR, MP, r):
+    """Flat-history Anderson direction.
+
+    MR/MP: [B, m, K] histories (rows in arbitrary order); r: [B, K].
+    Returns d = -r - gamma' MP with gamma from regularized normal equations
+    — one einsum Gram instead of m^2 separate tree reductions, and the
+    caller updates history rows with one dynamic_update_slice instead of a
+    lax.switch over tuple rebinds (which XLA copies inside while-loop
+    carries).
+    """
+    m = MR.shape[1]
+    dtype = MR.dtype
+    G = jnp.einsum("bmk,bnk->bmn", MR, MR)
+    c = jnp.einsum("bmk,bk->bm", MR, r)
+    tr = jnp.trace(G, axis1=-2, axis2=-1)
+    eps = jnp.asarray(1e-10, dtype) * (tr[:, None, None] / m) + jnp.asarray(
+        1e-30, dtype
+    )
+    gamma = jnp.linalg.solve(G + eps * jnp.eye(m, dtype=dtype), c[..., None])[
+        ..., 0
+    ]  # [B, m]
+    return -r - jnp.einsum("bm,bmk->bk", gamma, MP)
+
+
 def write_slot(rows: Tuple, col, slot):
     """Functionally replace ring slot ``slot`` (traced scalar) with ``col``.
 

@@ -101,10 +101,8 @@ class SPCarry:
     x0: Any  # [B, nx] — per-lane initial state (rewritable by async drivers)
     z: Primal
     v: Dual
-    rz_prev: Primal
-    rv_prev: Dual
-    dz_prev: Primal  # z_k - z_{k-1} (the quasi-Newton secant s)
-    dv_prev: Dual
+    r_prev: Any  # [B, K] flat previous residual (feeds the secant y)
+    s_prev: Any  # [B, K] flat z_k - z_{k-1} (the quasi-Newton secant s)
     dirstate: Any  # direction-provider state (AA history / Broyden ring)
     r_safe: Any  # [B]
     eta: Any  # [B] (K0 threshold)
@@ -154,10 +152,12 @@ def sp_init(
     dtype = x0.dtype
     K = _ravel_pair(z0, v0).shape[-1]
     if opts.direction == "anderson":
-        zrow = lambda: (tmap(jnp.zeros_like, z0), tmap(jnp.zeros_like, v0))
+        # flat [B, m, K] histories: slot writes are one dynamic_update_slice
+        # and the Gram is one einsum (tuple-of-pytree rows cost a lax.switch
+        # copy of the whole history per iteration inside the while carry)
         dirstate0 = (
-            tuple(zrow() for _ in range(opts.aa_window)),  # MR rows (pytrees)
-            tuple(zrow() for _ in range(opts.aa_window)),  # MP rows
+            jnp.zeros((B, opts.aa_window, K), dtype),  # dR (residual diffs)
+            jnp.zeros((B, opts.aa_window, K), dtype),  # dP = dZ - dR
         )
     elif opts.direction == "broyden":
         dirstate0 = broyden.init(B, K, opts.broyden_mem, dtype)
@@ -170,10 +170,8 @@ def sp_init(
         x0=x0,
         z=z0,
         v=v0,
-        rz_prev=tmap(jnp.zeros_like, z0),
-        rv_prev=tmap(jnp.zeros_like, v0),
-        dz_prev=tmap(jnp.zeros_like, z0),
-        dv_prev=tmap(jnp.zeros_like, v0),
+        r_prev=jnp.zeros((B, K), dtype),
+        s_prev=jnp.zeros((B, K), dtype),
         dirstate=dirstate0,
         r_safe=jnp.full((B,), jnp.inf, dtype),
         eta=jnp.full((B,), jnp.inf, dtype),
@@ -243,25 +241,23 @@ def sp_body(
         nMrv = inf_norm(Mrv, 1)
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
-        r_pair = (rz, rv)
-        y_pair = (sub(rz, c.rz_prev), sub(rv, c.rv_prev))
-        s_pair = (c.dz_prev, c.dv_prev)
+        r_flat = _ravel_pair(rz, rv)
+        y_flat = r_flat - c.r_prev
+        s_flat = c.s_prev
         if opts.direction == "anderson":
             slot = jnp.mod(c.it, opts.aa_window)
-            p_pair = tmap(jnp.subtract, s_pair, y_pair)
-            MR = anderson.write_slot(c.dirstate[0], y_pair, slot)
-            MP = anderson.write_slot(c.dirstate[1], p_pair, slot)
-            dz, dv = anderson.direction_tree(
-                MR, MP, r_pair, lambda a, b: vdot(a, b, 1)
+            MR = jax.lax.dynamic_update_slice_in_dim(
+                c.dirstate[0], y_flat[:, None, :], slot, axis=1
             )
+            MP = jax.lax.dynamic_update_slice_in_dim(
+                c.dirstate[1], (s_flat - y_flat)[:, None, :], slot, axis=1
+            )
+            d_flat = anderson.direction_flat(MR, MP, r_flat)
+            dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
             dirstate = (MR, MP)
         elif opts.direction == "broyden":
-            r_flat = _ravel_pair(rz, rv)
-            y_flat = _ravel_pair(*y_pair)
-            s_flat = _ravel_pair(*s_pair)
-            Msz, Msv = metric_pair(
-                data, meta, c.dz_prev, c.dv_prev, gamma, sigma
-            )
+            sz, sv = _unravel_pair(meta, s_flat, c.z, c.v)
+            Msz, Msv = metric_pair(data, meta, sz, sv, gamma, sigma)
             ps_flat = _ravel_pair(Msz, Msv)
             d_flat, dirstate = broyden.direction(
                 c.dirstate, r_flat, s_flat, y_flat, ps_flat, opts.broyden_mem
@@ -405,8 +401,7 @@ def sp_body(
         # ---- termination (sp.jl:270-344), from the accumulated norms ----
         xi1, xi2 = bt.xi1, bt.xi2
         conv, res0 = check_termination(xi1, xi2, c.res0, tol)
-        dz_iter = sub(z_new, c.z)
-        dv_iter = sub(v_new, c.v)
+        s_new = _ravel_pair(sub(z_new, c.z), sub(v_new, c.v))
 
         active = ~c.done
         hist = c.hist
@@ -419,10 +414,8 @@ def sp_body(
             x0=c.x0,
             z=bwhere(active, z_new, c.z),
             v=bwhere(active, v_new, c.v),
-            rz_prev=bwhere(active, rz, c.rz_prev),
-            rv_prev=bwhere(active, rv, c.rv_prev),
-            dz_prev=bwhere(active, dz_iter, c.dz_prev),
-            dv_prev=bwhere(active, dv_iter, c.dv_prev),
+            r_prev=jnp.where(active[:, None], r_flat, c.r_prev),
+            s_prev=jnp.where(active[:, None], s_new, c.s_prev),
             # NOTE: dirstate deliberately NOT lane-masked — finished lanes'
             # iterates are frozen elsewhere, their direction is never applied,
             # and masking would cost a full pass over the history rows.
