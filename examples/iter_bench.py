@@ -74,20 +74,26 @@ def main():
         lambda z, v: metric_pair(data, meta, z, v, gamma, sigma)
     )
 
-    # Anderson direction on fixed flat history (slot write + Gram + combine)
-    from spock_tpu.algorithms.supermann import _ravel_pair
+    # Anderson direction exactly as sp_body runs it: ravel + per-lane one-hot
+    # history writes (both buffers) + Gram/solve/combine + unravel
+    from spock_tpu.algorithms.supermann import _ravel_pair, _unravel_pair
 
     K = _ravel_pair(z, v).shape[-1]
     MRf = jnp.asarray(rng.standard_normal((B, 3, K)), jnp.float32)
+    MPf = jnp.asarray(rng.standard_normal((B, 3, K)), jnp.float32)
+    r_prev = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
 
-    def aa(zz, vv, slot):
+    def aa(zz, vv, slot_lane, MRf, MPf, r_prev):
         r_flat = _ravel_pair(zz, vv)
-        MR = jax.lax.dynamic_update_slice_in_dim(
-            MRf, r_flat[:, None, :], slot, axis=1
-        )
-        return anderson.direction_flat(MR, MR, r_flat)
+        y_flat = r_flat - r_prev
+        hot = (jnp.arange(3)[None, :] == slot_lane[:, None])[:, :, None]
+        MR = jnp.where(hot, y_flat[:, None, :], MRf)
+        MP = jnp.where(hot, (r_prev - y_flat)[:, None, :], MPf)
+        d_flat = anderson.direction_flat(MR, MP, r_flat)
+        return _unravel_pair(None, d_flat, zz, vv)
 
     f_aa = jax.jit(aa)
+    f_ravel = jax.jit(lambda zz, vv: _ravel_pair(zz, vv))
     f_norms = jax.jit(
         lambda z, v: (inf_norm(z, 1), inf_norm(v, 1),
                       vdot(z, z, 1) + vdot(v, v, 1))
@@ -97,11 +103,13 @@ def main():
     carry0 = supermann.sp_init(meta, x0, z, v)
     f_body = jax.jit(body)
 
+    slots = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
     t_sweep = timeit(f_sweep, z, v)
     t_metric = timeit(f_metric, z, v)
     t_swm = timeit(f_swm, z, v)
     t_mpair = timeit(f_mpair, z, v)
-    t_aa = timeit(f_aa, z, v, jnp.int32(1))
+    t_aa = timeit(f_aa, z, v, slots, MRf, MPf, r_prev)
+    t_ravel = timeit(f_ravel, z, v)
     t_norms = timeit(f_norms, z, v)
     c1 = f_body(carry0)
     t_body = timeit(f_body, c1)
@@ -111,6 +119,7 @@ def main():
     print(f"cp_sweep_metric: {t_swm*1e3:8.3f} ms", flush=True)
     print(f"metric_pair:     {t_mpair*1e3:8.3f} ms", flush=True)
     print(f"aa_direction:    {t_aa*1e3:8.3f} ms", flush=True)
+    print(f"ravel_pair:      {t_ravel*1e3:8.3f} ms", flush=True)
     print(f"norms+dot pass:  {t_norms*1e3:8.3f} ms", flush=True)
     print(f"sp_body:         {t_body*1e3:8.3f} ms", flush=True)
     print(

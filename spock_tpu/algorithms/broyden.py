@@ -36,12 +36,12 @@ class BroydenState:
     S: Any  # [B, MAX_K, K] past s vectors
     St: Any  # [B, MAX_K, K] past damped stilde vectors
     Ps: Any  # [B, MAX_K, K] past M s vectors
-    k: Any  # scalar int32 — current history length (uniform across lanes)
+    k: Any  # [B] int32 — per-lane history length (lanes restart independently)
 
 
 def init(B: int, K: int, max_k: int, dtype) -> BroydenState:
     z = jnp.zeros((B, max_k, K), dtype)
-    return BroydenState(S=z, St=z, Ps=z, k=jnp.zeros((), jnp.int32))
+    return BroydenState(S=z, St=z, Ps=z, k=jnp.zeros((B,), jnp.int32))
 
 
 def direction(
@@ -58,7 +58,7 @@ def direction(
 
     def hist_step(i, carry):
         st, d = carry
-        active = i < state.k
+        active = (i < state.k)[:, None]  # [B, 1] per-lane history length
         Ps_i, S_i, St_i = state.Ps[:, i], state.S[:, i], state.St[:, i]
         diff = S_i - St_i
         denom = jnp.sum(Ps_i * St_i, axis=-1)
@@ -94,13 +94,16 @@ def direction(
     d = d + coef[:, None] * (s_flat - st)
 
     # ring update with restart (restarted_broyden.jl:141-163): push while
-    # k < MAX_K, else clear history.
-    do_push = state.k < max_k
+    # k < MAX_K, else clear history — per lane (lanes in an async farm are at
+    # different solve phases; a shared restart clock would be wrong).
+    do_push = state.k < max_k  # [B]
     idx = jnp.where(do_push, state.k, 0)
+    hot = (jnp.arange(max_k, dtype=idx.dtype)[None, :] == idx[:, None]) & (
+        do_push[:, None]
+    )  # [B, MAX_K] one-hot row selector
 
     def set_row(buf, row):
-        new = jax.lax.dynamic_update_slice_in_dim(buf, row[:, None], idx, 1)
-        return jnp.where(do_push, new, buf)
+        return jnp.where(hot[:, :, None], row[:, None, :], buf)
 
     new_state = BroydenState(
         S=set_row(state.S, s_flat),

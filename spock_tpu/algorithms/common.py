@@ -51,7 +51,7 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     zbar = prox_f(z - gamma L' v); vbar = prox_h*(v + sigma L (2 zbar - z)).
     (cf. update_zbar!/update_vbar!, ``src/model_algorithms/cp.jl:5-32``)
     """
-    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+    if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
         return pallas_sweep.cp_sweep_fused(
             data, meta, z, v, gamma, sigma, x0,
             interpret=jax.default_backend() == "cpu",
@@ -75,7 +75,7 @@ def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     returns ``(zbar, vbar, Mrz, Mrv)`` with ``(Mrz, Mrv) = M (z - zbar,
     v - vbar)``.  On the megakernel path both ride one Pallas launch; the
     fallback is cp_sweep followed by metric_apply (one extra L/L' pair)."""
-    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+    if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
         return pallas_sweep.cp_sweep_metric_fused(
             data, meta, z, v, gamma, sigma, x0,
             interpret=jax.default_backend() == "cpu",
@@ -89,7 +89,7 @@ def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
 
 def metric_pair(data, meta, z: Primal, v: Dual, gamma, sigma):
     """M (z, v) — fused single-kernel when the megakernel path is on."""
-    if pallas_sweep.ENABLED and pallas_sweep.supported(meta, data):
+    if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
         return pallas_sweep.metric_apply_fused(
             data, meta, z, v, gamma, sigma,
             interpret=jax.default_backend() == "cpu",

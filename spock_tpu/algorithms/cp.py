@@ -53,6 +53,7 @@ def run_cp(
     sigma=None,
     lam: float = 1.0,
     record: bool = False,
+    constrain=None,
 ) -> SolveResult:
     """Solve to tolerance from a warm start (z0, v0); everything batched [B, ...].
 
@@ -61,6 +62,10 @@ def run_cp(
     record=True keeps a per-iteration (xi1, xi2) trace in ``result.residuals``
     — the TPU equivalent of the reference's LOG verbose mode (``cp.jl:82-97``,
     which appends residuals to .dat files).
+
+    constrain: optional ``tree -> tree`` sharding hook (e.g.
+    ``parallel.mesh.node_constrainer``) applied to (z, v) every iteration so
+    node-sharded big-tree solves keep their layout through the loop.
     """
     if gamma is None or sigma is None:
         step = 0.99 / jnp.sqrt(data.L_sq)
@@ -83,7 +88,10 @@ def run_cp(
         return (~jnp.all(c.done)) & (c.it < max_iter)
 
     def body(c: CPCarry):
-        zbar, vbar = cp_sweep(data, meta, c.z, c.v, gamma, sigma, x0)
+        zc, vc = c.z, c.v
+        if constrain is not None:
+            zc, vc = constrain(zc), constrain(vc)
+        zbar, vbar = cp_sweep(data, meta, zc, vc, gamma, sigma, x0)
         if lam == 1.0:
             z_new, v_new = zbar, vbar
         else:

@@ -199,6 +199,7 @@ def sp_body(
     gamma=None,
     sigma=None,
     record: bool = False,
+    constrain=None,
 ):
     """Returns the one-iteration transition function carry -> carry.
 
@@ -215,6 +216,9 @@ def sp_body(
         return vdot(az, bmz, 1) + vdot(av, bmv, 1)
 
     def body(c: SPCarry):
+        if constrain is not None:
+            # re-pin iterate shardings each iteration (node-sharded big trees)
+            c = dataclasses.replace(c, z=constrain(c.z), v=constrain(c.v))
         B = c.done.shape[0]
         dtype = c.r_safe.dtype
         x0 = c.x0
@@ -245,13 +249,18 @@ def sp_body(
         y_flat = r_flat - c.r_prev
         s_flat = c.s_prev
         if opts.direction == "anderson":
-            slot = jnp.mod(c.it, opts.aa_window)
-            MR = jax.lax.dynamic_update_slice_in_dim(
-                c.dirstate[0], y_flat[:, None, :], slot, axis=1
-            )
-            MP = jax.lax.dynamic_update_slice_in_dim(
-                c.dirstate[1], (s_flat - y_flat)[:, None, :], slot, axis=1
-            )
+            # PER-LANE ring slot (niter, not the global it): a lane refilled
+            # mid-farm must write its history rows in exactly the order a
+            # standalone warm solve would — row order changes linalg.solve
+            # pivoting and lets trajectories drift (tested bitwise equal in
+            # test_async_farm_matches_standalone_warm_solves).
+            slot = jnp.mod(c.niter, opts.aa_window)
+            hot = (
+                jnp.arange(opts.aa_window, dtype=slot.dtype)[None, :]
+                == slot[:, None]
+            )[:, :, None]  # [B, m, 1]
+            MR = jnp.where(hot, y_flat[:, None, :], c.dirstate[0])
+            MP = jnp.where(hot, (s_flat - y_flat)[:, None, :], c.dirstate[1])
             d_flat = anderson.direction_flat(MR, MP, r_flat)
             dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
             dirstate = (MR, MP)
@@ -289,8 +298,12 @@ def sp_body(
             eta_new = jnp.where(k0_mask, rnorm, c.eta)
             z_init = bwhere(k0_mask, tmap(jnp.add, c.z, dz), z_fb)
             v_init = bwhere(k0_mask, tmap(jnp.add, c.v, dv), v_fb)
-            xi1_init = jnp.where(k0_mask, nMdz / gamma, xi1_fb)
-            xi2_init = jnp.where(k0_mask, nMdv / sigma, xi2_fb)
+            # termination residuals for K0 lanes use the FIXED-POINT residual
+            # scale (as a KM step would), not the blind step ||M d||: a
+            # degenerate quasi-Newton direction (d ~ 0 with r large) must not
+            # read as convergence — K0 has no K1/K2-style progress guard.
+            xi1_init = jnp.where(k0_mask, nMrz / gamma, xi1_fb)
+            xi2_init = jnp.where(k0_mask, nMrv / sigma, xi2_fb)
             loop_init = ~k0_mask
         else:
             eta_new = c.eta
@@ -298,7 +311,11 @@ def sp_body(
             xi1_init, xi2_init = xi1_fb, xi2_fb
             loop_init = jnp.ones((B,), bool)
 
-        q_pow = jnp.asarray(opts.q, dtype) ** c.it.astype(dtype)
+        # r_safe decay q^k uses the PER-LANE iteration counter: in the async
+        # farm lanes are at different phases of their own solves (for a
+        # standalone batch solve niter == it on every active lane, so this is
+        # identical to the reference's q^iter, sp.jl:186).
+        q_pow = jnp.asarray(opts.q, dtype) ** c.niter.astype(dtype)
 
         def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
             """One backtracking trial at per-lane step size tau; returns the
@@ -452,10 +469,12 @@ def run_supermann(
     gamma=None,
     sigma=None,
     record: bool = False,
+    constrain=None,
 ) -> SolveResult:
     init = sp_init(meta, x0, z0, v0, opts, max_iter=max_iter, record=record)
     body = sp_body(
-        data, meta, tol, opts, gamma=gamma, sigma=sigma, record=record
+        data, meta, tol, opts, gamma=gamma, sigma=sigma, record=record,
+        constrain=constrain,
     )
 
     def cond(c: SPCarry):

@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .algorithms import supermann as sp_alg
 from .algorithms import cp as cp_alg
@@ -184,13 +185,25 @@ def _simulate_async_jit(
         # the reference's warm-start semantics; res0 reset per solve as in
         # models/spock.jl:248).  A lane stays done only when it has no steps
         # left; a lane that just converged with steps remaining restarts.
+        # The quasi-Newton memory (r_prev/s_prev and the AA/Broyden history)
+        # is also reset per lane: secants spanning an x0 change are not valid
+        # curvature information, and a refilled lane must behave exactly like
+        # a standalone warm-started solve (sp_init semantics).
+        def lane_reset(a):
+            m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
+            return jnp.where(m, jnp.zeros_like(a), a)
+
         sp = dataclasses.replace(
             sp,
             x0=new_x0,
             done=sp.done & ~(fin & (step_idx < n_steps)),
             res0=jnp.where(fin[:, None], -jnp.inf, sp.res0),
             r_safe=jnp.where(fin, jnp.inf, sp.r_safe),
+            eta=jnp.where(fin, jnp.inf, sp.eta),
             niter=jnp.where(fin, 0, sp.niter),
+            r_prev=lane_reset(sp.r_prev),
+            s_prev=lane_reset(sp.s_prev),
+            dirstate=jax.tree_util.tree_map(lane_reset, sp.dirstate),
             # a lane that advanced invalidates the batchwide sweep cache
             cache_valid=sp.cache_valid & ~jnp.any(fin),
         )
@@ -271,7 +284,7 @@ def simulate_async(
             data, meta, ws, tol, n_steps, opts, budget, state
         )
         jax.block_until_ready(res.steps_done)
-        if bool((np := __import__("numpy")).all(
-            np.asarray(res.steps_done) >= n_steps
-        )) or int(res.total_iterations) >= max_total_iters:
+        if bool(
+            np.all(np.asarray(res.steps_done) >= n_steps)
+        ) or int(res.total_iterations) >= max_total_iters:
             return res

@@ -39,26 +39,84 @@ from jax.experimental.pallas import tpu as pltpu
 from ..problem import ProblemData, ProblemMeta
 from ..zv import Dual, Primal
 
-ENABLED = os.environ.get("SPOCK_PALLAS_SWEEP", "0") == "1"
-
-# conservative VMEM budget for one grid step (bytes)
-_VMEM_BUDGET = 10 * 1024 * 1024
+_ENV = os.environ.get("SPOCK_PALLAS_SWEEP")  # "1" force on, "0" force off
 
 
-def _per_lane_bytes(meta: ProblemMeta) -> int:
+def enabled() -> bool:
+    """The megakernel is the production path: default-on on real hardware,
+    default-off on CPU (interpret mode is for its own correctness tests, not
+    for running the whole suite through an emulator).  SPOCK_PALLAS_SWEEP=0/1
+    forces."""
+    if _ENV == "1":
+        return True
+    if _ENV == "0":
+        return False
+    # default device is the TPU chip under the axon platform; only plain CPU
+    # (the float64 oracle/test environment) stays on the jnp reference path
+    return jax.default_backend() != "cpu"
+
+# VMEM budget for one grid step (bytes).  The kernels request a raised scoped
+# limit via CompilerParams (the default 16 MiB stack limit OOMs at production
+# sizes); sizing below is exact-padded, so the budget only needs pipeline
+# headroom.
+_VMEM_BUDGET = 64 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _padded(f: int, w: int) -> int:
+    """Floats occupied by an [f, w] f32 block under TPU (8, 128) tiling."""
+    return ((f + 7) // 8) * 8 * ((w + 127) // 128) * 128
+
+
+def _iterate_padded(meta: ProblemMeta) -> int:
+    """Padded per-lane floats of one (Primal, Dual) iterate as kernel blocks."""
     t = meta.tree
-    nz = meta.nz
-    nv = meta.nv
+    nx, nu, ny = meta.nx, meta.nu, meta.ny
+    n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
+    blocks = [
+        (nx, n), (nu, n_nl), (1, n), (1, n_nr), (ny, n_nl),  # primal
+        (ny, n_nl), (1, n_nl), (nx, n_nr), (nu, n_nr), (1, n_nr),
+        (1, n_nr), (nx, n_nl), (nu, n_nl), (nx, n_lf), (1, n_lf),
+        (1, n_lf), (nx, n_lf),  # dual
+    ]
+    return sum(_padded(f, w) for f, w in blocks)
+
+
+def _scratch_padded(meta: ProblemMeta) -> int:
+    t = meta.tree
+    nx, nu = meta.nx, meta.nu
+    n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
     mker = meta.ny + 2 * t.d
-    scratch = (
-        2 * t.n * meta.nx  # gx, gq
-        + (t.n_nonleaf + max(t.n_nonleaf, t.n_leaf)) * meta.nu  # gu, gs
-        + 2 * mker * t.n_nonleaf  # gk, gk2
-        + t.n  # gss
-        + (t.n - 1) * (1 + meta.nx + meta.nu)  # gtt, gqx, gru
-        + 2 * (t.d + 1) * meta.nx * max(t.n_leaf // t.d, 1)  # gst, gst2
+    child_w = max(n_lf // t.d, 1)
+    blocks = [
+        (nx, n), (nu, n_nl), (nx, n), (max(nu, 1), max(n_nl, n_lf)),
+        (mker, n_nl), (mker, n_nl), (1, n), (1, n_nr), (nx, n_nr),
+        (max(nu, 1), n_nr), (max(t.d * nx, nx + nu), child_w),
+        (t.d * nx, child_w),
+    ]
+    return sum(_padded(f, w) for f, w in blocks)
+
+
+def _vmem_bytes(meta: ProblemMeta, bt: int, n_out_iterates: int) -> int:
+    """Estimated scoped-VMEM bytes for one sweep-kernel grid step: I/O blocks
+    are double-buffered by the Mosaic pipeline; scratch is persistent."""
+    it = _iterate_padded(meta)
+    io = (1 + n_out_iterates) * it + _padded(meta.nx, 1)  # inputs + outputs
+    return 4 * bt * (2 * io + _scratch_padded(meta))
+
+
+def _pick_bt(meta: ProblemMeta, B: int, n_out_iterates: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0 and _vmem_bytes(meta, cand, n_out_iterates) <= _VMEM_BUDGET:
+            return cand
+    return 1
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",),  # lane tiles are independent
+        vmem_limit_bytes=_VMEM_LIMIT,
     )
-    return 4 * (2 * (nz + nv) + scratch)
 
 
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
@@ -71,7 +129,7 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
                 data.ker_proj):
         if arr.shape[0] != 1:
             return False
-    return _per_lane_bytes(meta) <= _VMEM_BUDGET
+    return _vmem_bytes(meta, 1, 2) <= _VMEM_BUDGET
 
 
 def _mm(M, X):
@@ -557,11 +615,7 @@ def metric_apply_fused(
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
     B = z.s.shape[0]
-    bt = 1
-    for cand in (8, 4, 2, 1):
-        if B % cand == 0 and _per_lane_bytes(meta) * cand <= _VMEM_BUDGET:
-            bt = cand
-            break
+    bt = _pick_bt(meta, B, 1)
     grid = (B // bt,)
     dtype = z.s.dtype
     kernel = _make_metric_kernel(meta)
@@ -623,6 +677,7 @@ def metric_apply_fused(
         out_shape=pair_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
@@ -698,11 +753,7 @@ def _sweep_impl(
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
     B = z.s.shape[0]
-    bt = 1
-    for cand in (4, 2, 1):
-        if B % cand == 0 and _per_lane_bytes(meta) * cand <= _VMEM_BUDGET:
-            bt = cand
-            break
+    bt = _pick_bt(meta, B, 2 if with_metric else 1)
     grid = (B // bt,)
     dtype = z.s.dtype
 
@@ -828,6 +879,7 @@ def _sweep_impl(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,

@@ -66,7 +66,9 @@ def zero_dual(meta: ProblemMeta, batch: tuple = (), dtype=jnp.float32) -> Dual:
 
 @partial(
     jax.jit,
-    static_argnames=("meta", "algorithm", "max_iter", "lam", "supermann_opts"),
+    static_argnames=(
+        "meta", "algorithm", "max_iter", "lam", "supermann_opts", "constrain",
+    ),
 )
 def _solve_jit(
     data,
@@ -79,10 +81,12 @@ def _solve_jit(
     max_iter: int,
     lam: float,
     supermann_opts,
+    constrain=None,
 ):
     if algorithm == "cp":
         return cp_alg.run_cp(
-            data, meta, x0, z0, v0, tol=tol, max_iter=max_iter, lam=lam
+            data, meta, x0, z0, v0, tol=tol, max_iter=max_iter, lam=lam,
+            constrain=constrain,
         )
     elif algorithm == "spock":
         return sp_alg.run_supermann(
@@ -94,6 +98,7 @@ def _solve_jit(
             tol=tol,
             max_iter=max_iter,
             opts=supermann_opts,
+            constrain=constrain,
         )
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
@@ -112,6 +117,9 @@ class Solver:
     max_iter: Optional[int] = None  # defaults: 1000 spock / 5000 cp, as in ref
     lam: float = 1.0
     supermann: "sp_alg.SuperMannOpts" = None  # type: ignore
+    # optional sharding hook (parallel.mesh.node_constrainer) re-applied to
+    # the iterates every loop iteration — the big-tree node-sharded path
+    constrain: object = None
 
     def __post_init__(self):
         if self.max_iter is None:
@@ -152,6 +160,7 @@ class Solver:
             int(self.max_iter),
             float(self.lam),
             self.supermann,
+            self.constrain,
         )
         if unbatched:
             res = jax.tree_util.tree_map(lambda a: a[0], res)

@@ -113,6 +113,42 @@ def test_async_mpc_sharded():
     )
 
 
+def test_async_farm_matches_standalone_warm_solves():
+    """Per-solve iteration counts in the async farm are IDENTICAL to a
+    sequence of standalone warm-started solves: lane refill fully resets the
+    per-solve solver state (r_prev/s_prev, quasi-Newton history, r_safe,
+    eta, res0) so a farm solve is indistinguishable from sp_init + warm z/v."""
+    from spock_tpu.algorithms import supermann as sp_alg
+
+    spec, data, meta = _built()
+    B, T = 3, 4
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    ws = jnp.asarray(rng.integers(0, meta.tree.d, (T, B)))
+    tol = 1e-5
+    res_a = mpc.simulate_async(data, meta, x0, ws, tol=tol, n_steps=T)
+
+    z = zero_primal(meta, (B,), x0.dtype)
+    v = zero_dual(meta, (B,), x0.dtype)
+    x = x0
+    iters = []
+    for t in range(T):
+        res = sp_alg.run_supermann(
+            data, meta, x, z, v, tol=jnp.asarray(tol), max_iter=1000
+        )
+        assert bool(jnp.all(res.status == 0))
+        iters.append(np.asarray(res.iterations))
+        z, v = res.z, res.v
+        u0 = res.z.u[:, :, 0]
+        Aw, Bw = data.A[ws[t]], data.B[ws[t]]
+        x = jnp.einsum("bxy,by->bx", Aw, x) + jnp.einsum(
+            "bxu,bu->bx", Bw, u0
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res_a.iters_per_step), np.stack(iters)
+    )
+
+
 def test_async_mpc_chunked_launches():
     """Chunked (bounded-launch) async farm gives the same results as a
     single launch."""

@@ -157,6 +157,24 @@ def test_broyden_and_residual_directions(car_built):
     assert iters["broyden"] <= iters["residual"]
 
 
+def test_k0_blind_updates(car_built, car_oracle):
+    """K0 blind updates (SuperMannOpts(k0=True)) — disabled in the reference
+    (``should_perform_k0`` ends in ``&& false``, sp.jl:80) but a real option
+    here: it must still converge to the oracle solution."""
+    from spock_tpu.algorithms.supermann import SuperMannOpts
+
+    spec, data, meta = car_built
+    s = Solver(data, meta, algorithm="spock", supermann=SuperMannOpts(k0=True))
+    res = s.solve(np.array([0.1, 0.1]), tol=1e-6)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.z.u)[:, 0], car_oracle["u"][0], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(res.z.s[0]), car_oracle["objective"], atol=2e-4
+    )
+
+
 def test_solution_invariants(car_built):
     """The reference's latent test plan (commented testsets at
     test/runtests.jl:39-165): y in K*, b'y <= s, stage cost <= tau,
