@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--use-async", action="store_true",
                     help="asynchronous farm (per-lane chain advancement)")
+    ap.add_argument("--plot", action="store_true",
+                    help="write a per-step cost PNG to examples/output/")
     args = ap.parse_args()
 
     import os
@@ -79,6 +81,31 @@ def main():
     iters = np.asarray(
         res.iters_per_step if args.use_async else res.iterations
     )
+    png = None
+    if args.plot:
+        from plotting import SERIES, new_axes, save
+
+        per_step_ms = 1e3 * run / args.steps
+        fig, ax = new_axes(
+            f"Warm-started MPC: solver iterations per step "
+            f"(nx={args.nx} N={args.horizon}, {per_step_ms:.1f} ms/step, "
+            f"B={B} repeats)",
+            "MPC step",
+            "SuperMann iterations per solve",
+        )
+        steps_ax = np.arange(1, iters.shape[0] + 1)
+        s = SERIES["spock"]
+        ax.fill_between(
+            steps_ax, iters.min(axis=1), iters.max(axis=1),
+            color=s["color"], alpha=0.18, lw=0,
+        )
+        ax.plot(
+            steps_ax, iters.mean(axis=1), color=s["color"], lw=2,
+            marker="o", ms=4,
+        )
+        ax.set_ylim(bottom=0)
+        png = save(fig, "mpc_simulation.png")
+
     print(
         json.dumps(
             {
@@ -93,6 +120,7 @@ def main():
                 else int((np.asarray(res.status) != 0).sum()),
                 "compile_s": round(compile_and_run - run, 2),
                 "device": str(jax.devices()[0]),
+                "png": png,
             },
             indent=2,
         )

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--nx", type=int, default=5)
     ap.add_argument("--horizon", type=int, default=7)
     ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--plot", action="store_true",
+                    help="write a residual-vs-work PNG to examples/output/")
     args = ap.parse_args()
 
     if args.cpu:
@@ -81,6 +83,29 @@ def main():
         header="op_calls,xi1,xi2,backtracks",
         delimiter=",",
     )
+    png = None
+    if args.plot:
+        from plotting import SERIES, new_axes, save
+
+        fig, ax = new_axes(
+            f"Residual vs operator calls (server_heat nx={args.nx} "
+            f"N={args.horizon}, tol={args.tol:g})",
+            "operator (L / L') applications",
+            "termination residual  max(ξ₁, ξ₂)",
+        )
+        for key, calls, trace in (
+            ("cp", cp_calls, cp_trace),
+            ("spock", sp_calls, sp_trace),
+        ):
+            s = SERIES[key]
+            ax.semilogy(
+                calls, trace[:, :2].max(axis=1), color=s["color"],
+                ls=s["ls"], lw=2, label=s["label"],
+            )
+        ax.axhline(args.tol, color="0.6", lw=1, ls=":")
+        ax.legend(fontsize=9, frameon=False)
+        png = save(fig, "residuals.png")
+
     print(
         json.dumps(
             {
@@ -89,6 +114,7 @@ def main():
                 "cp_final_xi": [float(res_cp.xi1[0]), float(res_cp.xi2[0])],
                 "spock_final_xi": [float(res_sp.xi1[0]), float(res_sp.xi2[0])],
                 "csv_dir": outdir,
+                "png": png,
             },
             indent=2,
         )

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--nmax", type=int, default=15)
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="write a runtime-vs-horizon PNG to examples/output/")
     args = ap.parse_args()
 
     import os
@@ -71,6 +73,25 @@ def main():
                 }
             )
             print(json.dumps(rows[-1]))
+
+    if args.plot:
+        from plotting import SERIES, new_axes, save
+
+        fig, ax = new_axes(
+            f"Cold-solve runtime vs horizon (server_heat nx={args.nx}, "
+            f"d=2, tol={args.tol:g})",
+            "horizon N",
+            "wall time per solve [s]",
+        )
+        for alg in ["spock", "cp"]:
+            pts = [(r["N"], r["wall_s"]) for r in rows if r["alg"] == alg]
+            s = SERIES[alg]
+            ax.semilogy(
+                [p[0] for p in pts], [p[1] for p in pts], color=s["color"],
+                ls=s["ls"], lw=2, marker="o", ms=4, label=s["label"],
+            )
+        ax.legend(fontsize=9, frameon=False)
+        print(json.dumps({"png": save(fig, "scaling.png")}))
 
 
 if __name__ == "__main__":
