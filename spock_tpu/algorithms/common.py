@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..ops.linop import apply_L, apply_LT, metric_apply
 from ..ops.prox import prox_f, prox_h_conj
 from ..ops import pallas_kernels, pallas_sweep
-from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap
+from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap, vdot
 
 
 def register(cls):
@@ -71,20 +71,61 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
 
 
 def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
-    """One CP sweep plus the metric image of its fixed-point residual:
-    returns ``(zbar, vbar, Mrz, Mrv)`` with ``(Mrz, Mrv) = M (z - zbar,
-    v - vbar)``.  On the megakernel path both ride one Pallas launch; the
-    fallback is cp_sweep followed by metric_apply (one extra L/L' pair)."""
+    """One CP sweep plus the metric image of its fixed-point residual plus
+    the per-lane reductions SuperMann consumes: returns ``(zbar, vbar, Mrz,
+    Mrv, rnorm_sq, nMrz, nMrv)`` with ``(Mrz, Mrv) = M (z - zbar, v -
+    vbar)``, ``rnorm_sq = <r, M r>`` and nMrz/nMrv the inf-norms of M r's
+    halves.  On the megakernel path everything rides one Pallas launch; the
+    fallback is cp_sweep + metric_apply + XLA reductions."""
     if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
         return pallas_sweep.cp_sweep_metric_fused(
             data, meta, z, v, gamma, sigma, x0,
             interpret=jax.default_backend() == "cpu",
         )
     zbar, vbar = cp_sweep(data, meta, z, v, gamma, sigma, x0)
-    Mrz, Mrv = metric_apply(
-        data, meta, sub(z, zbar), sub(v, vbar), gamma, sigma
+    rz, rv = sub(z, zbar), sub(v, vbar)
+    Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
+    rnorm_sq = vdot(rz, Mrz, 1) + vdot(rv, Mrv, 1)
+    return (
+        zbar, vbar, Mrz, Mrv, rnorm_sq,
+        inf_norm(Mrz, batch_ndim=1), inf_norm(Mrv, batch_ndim=1),
     )
-    return zbar, vbar, Mrz, Mrv
+
+
+def candidate_sweep(
+    data, meta, z: Primal, v: Dual, dz: Primal, dv: Dual, tau, gamma, sigma,
+    x0,
+):
+    """SuperMann candidate evaluation at (w, u) = (z, v) + tau (dz, dv):
+    the CP sweep at the candidate, the metric image of the candidate
+    residual, and the scalars the K1/K2 tests consume.
+
+    Returns ``(wbar, ubar, Mrz, Mrv, rnorm_sq, nMrz, nMrv, rho_dot, nMdz,
+    nMdv)`` — the first seven as :func:`cp_sweep_metric` at the candidate
+    point, plus ``rho_dot = <r~, M d>`` (sp.jl:193-222's rho correction) and
+    the inf-norms of M d's halves.  One Pallas launch on the megakernel
+    path; M d is never materialized there."""
+    if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
+        return pallas_sweep.candidate_sweep_fused(
+            data, meta, z, v, dz, dv, tau, gamma, sigma, x0,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    tau = jnp.asarray(tau)
+    w = tmap(lambda a, b: a + bexpand(tau, a) * b, z, dz)
+    u = tmap(lambda a, b: a + bexpand(tau, a) * b, v, dv)
+    wbar, ubar = cp_sweep(data, meta, w, u, gamma, sigma, x0)
+    rw, ru = sub(w, wbar), sub(u, ubar)
+    Mrz, Mrv = metric_apply(data, meta, rw, ru, gamma, sigma)
+    rnorm_sq = vdot(rw, Mrz, 1) + vdot(ru, Mrv, 1)
+    Mdz, Mdv = metric_apply(data, meta, dz, dv, gamma, sigma)
+    rho_dot = vdot(rw, Mdz, 1) + vdot(ru, Mdv, 1)
+    return (
+        wbar, ubar, Mrz, Mrv, rnorm_sq,
+        inf_norm(Mrz, batch_ndim=1), inf_norm(Mrv, batch_ndim=1),
+        rho_dot,
+        inf_norm(Mdz, batch_ndim=1), inf_norm(Mdv, batch_ndim=1),
+    )
 
 
 def metric_pair(data, meta, z: Primal, v: Dual, gamma, sigma):

@@ -33,12 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import ProblemData, ProblemMeta
-from ..zv import Dual, Primal, inf_norm, lincomb, sub, tmap, vdot
+from ..zv import Dual, Primal, lincomb, sub, tmap
 from . import anderson, broyden
 from .common import (
     SolveResult,
     bexpand,
     bwhere,
+    candidate_sweep,
     check_termination,
     cp_sweep_metric,
     metric_pair,
@@ -123,6 +124,8 @@ class SPCarry:
     Mrz_c: Primal
     Mrv_c: Dual
     rnorm_c: Any  # [B]
+    nMrz_c: Any  # [B] inf-norm of M r's primal half (cached with the sweep)
+    nMrv_c: Any  # [B]
 
 
 @register
@@ -188,6 +191,8 @@ def sp_init(
         Mrz_c=tmap(jnp.zeros_like, z0),
         Mrv_c=tmap(jnp.zeros_like, v0),
         rnorm_c=jnp.zeros((B,), dtype),
+        nMrz_c=jnp.zeros((B,), dtype),
+        nMrv_c=jnp.zeros((B,), dtype),
     )
 
 
@@ -211,10 +216,6 @@ def sp_body(
         step = 0.99 / jnp.sqrt(data.L_sq)
         gamma = sigma = step
 
-    def mdot(az, av, bmz, bmv):
-        """<(az, av), (bmz, bmv)> per lane (args already metric-applied)."""
-        return vdot(az, bmz, 1) + vdot(av, bmv, 1)
-
     def body(c: SPCarry):
         if constrain is not None:
             # re-pin iterate shardings each iteration (node-sharded big trees)
@@ -224,43 +225,45 @@ def sp_body(
         x0 = c.x0
         # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
         def fresh_sweep(_):
-            zbar, vbar, Mrz, Mrv = cp_sweep_metric(
+            zbar, vbar, Mrz, Mrv, rnsq, nMrz, nMrv = cp_sweep_metric(
                 data, meta, c.z, c.v, gamma, sigma, x0
             )
-            rz = sub(c.z, zbar)
-            rv = sub(c.v, vbar)
-            rnorm = jnp.sqrt(jnp.maximum(mdot(rz, rv, Mrz, Mrv), 0.0))
-            return zbar, vbar, Mrz, Mrv, rnorm
+            rnorm = jnp.sqrt(jnp.maximum(rnsq, 0.0))
+            return zbar, vbar, Mrz, Mrv, rnorm, nMrz, nMrv
 
         def cached_sweep(_):
-            return c.zbar_c, c.vbar_c, c.Mrz_c, c.Mrv_c, c.rnorm_c
+            return (
+                c.zbar_c, c.vbar_c, c.Mrz_c, c.Mrv_c, c.rnorm_c,
+                c.nMrz_c, c.nMrv_c,
+            )
 
-        zbar, vbar, Mrz, Mrv, rnorm = jax.lax.cond(
+        zbar, vbar, Mrz, Mrv, rnorm, nMrz, nMrv = jax.lax.cond(
             c.cache_valid, cached_sweep, fresh_sweep, None
         )
         rz = sub(c.z, zbar)
         rv = sub(c.v, vbar)
-        # inf-norms reused for operator-free termination (see below)
-        nMrz = inf_norm(Mrz, 1)
-        nMrv = inf_norm(Mrv, 1)
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
         r_flat = _ravel_pair(rz, rv)
         y_flat = r_flat - c.r_prev
         s_flat = c.s_prev
         if opts.direction == "anderson":
-            # PER-LANE ring slot (niter, not the global it): a lane refilled
-            # mid-farm must write its history rows in exactly the order a
-            # standalone warm solve would — row order changes linalg.solve
-            # pivoting and lets trajectories drift (tested bitwise equal in
-            # test_async_farm_matches_standalone_warm_solves).
-            slot = jnp.mod(c.niter, opts.aa_window)
-            hot = (
-                jnp.arange(opts.aa_window, dtype=slot.dtype)[None, :]
-                == slot[:, None]
-            )[:, :, None]  # [B, m, 1]
-            MR = jnp.where(hot, y_flat[:, None, :], c.dirstate[0])
-            MP = jnp.where(hot, (s_flat - y_flat)[:, None, :], c.dirstate[1])
+            # BATCH-GLOBAL ring slot (it mod m): the row write is one
+            # dynamic_update_slice that XLA performs in place inside the
+            # while carry — a per-lane slot would need a jnp.where over the
+            # full [B, m, K] histories (read + rewrite ~1.5 GB/iter at
+            # B=128, measured 1.9 ms slower on chip).  For standalone
+            # solves niter == it on every active lane, so this is
+            # bitwise-identical to the per-lane ring; a farm-refilled lane
+            # writes its (reset) history rows at a rotated phase, which
+            # changes the 3x3 Gram solve only at fp-rounding level.
+            slot = jnp.mod(c.it, opts.aa_window)
+            MR = jax.lax.dynamic_update_slice_in_dim(
+                c.dirstate[0], y_flat[:, None, :], slot, axis=1
+            )
+            MP = jax.lax.dynamic_update_slice_in_dim(
+                c.dirstate[1], (s_flat - y_flat)[:, None, :], slot, axis=1
+            )
             d_flat = anderson.direction_flat(MR, MP, r_flat)
             dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
             dirstate = (MR, MP)
@@ -275,11 +278,6 @@ def sp_body(
         else:  # plain residual direction (KM step candidates)
             dz, dv = tmap(jnp.negative, rz), tmap(jnp.negative, rv)
             dirstate = ()
-
-        # rho needs <r~, M d>; hoist M d out of the backtracking loop.
-        Mdz, Mdv = metric_pair(data, meta, dz, dv, gamma, sigma)
-        nMdz = inf_norm(Mdz, 1)
-        nMdv = inf_norm(Mdv, 1)
 
         # ---- CP fallback (sp.jl:443-446) ----
         if opts.lam == 1.0:
@@ -320,17 +318,24 @@ def sp_body(
         def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
             """One backtracking trial at per-lane step size tau; returns the
             updated acceptance state plus the candidate's sweep results (the
-            peeled tau=1 trial reuses them as the next iteration's cache)."""
+            peeled tau=1 trial reuses them as the next iteration's cache).
+
+            One fused launch on the megakernel path: candidate construction,
+            sweep, residual metric, <r~, M d> and every norm the K1/K2 tests
+            consume (common.candidate_sweep)."""
+            (
+                wbar, ubar, Mrw, Mru, rt_sq, nMrwz, nMrwv, rho_dot,
+                nMdz, nMdv,
+            ) = candidate_sweep(
+                data, meta, c.z, c.v, dz, dv, tau, gamma, sigma, x0
+            )
             w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, c.z, dz)
             u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, c.v, dv)
-            wbar, ubar, Mrw, Mru = cp_sweep_metric(
-                data, meta, w, u, gamma, sigma, x0
-            )
             rw = sub(w, wbar)
             ru = sub(u, ubar)
-            rt_sq = jnp.maximum(mdot(rw, ru, Mrw, Mru), 0.0)
+            rt_sq = jnp.maximum(rt_sq, 0.0)
             rtilde = jnp.sqrt(rt_sq)
-            rho = rt_sq - tau * mdot(rw, ru, Mdz, Mdv)
+            rho = rt_sq - tau * rho_dot
 
             k1 = (rnorm <= b_r_safe) & (rtilde <= opts.c1 * rnorm) & looping
             k2 = (rho >= opts.sigma_k2 * rnorm * rtilde) & looping & (~k1)
@@ -353,17 +358,17 @@ def sp_body(
             xi1 = jnp.where(
                 k1,
                 tau * nMdz / gamma,
-                jnp.where(k2, coef * inf_norm(Mrw, 1) / gamma, b_xi1),
+                jnp.where(k2, coef * nMrwz / gamma, b_xi1),
             )
             xi2 = jnp.where(
                 k1,
                 tau * nMdv / sigma,
-                jnp.where(k2, coef * inf_norm(Mru, 1) / sigma, b_xi2),
+                jnp.where(k2, coef * nMrwv / sigma, b_xi2),
             )
             looping_out = looping & (~k1) & (~k2)
             return (
                 (z_acc, v_acc, r_safe, xi1, xi2, looping_out, k1),
-                (wbar, ubar, Mrw, Mru, rtilde),
+                (wbar, ubar, Mrw, Mru, rtilde, nMrwz, nMrwv),
             )
 
         # ---- peeled first trial at tau = 1 (the common accept path) ----
@@ -452,6 +457,8 @@ def sp_body(
             Mrz_c=cache[2],
             Mrv_c=cache[3],
             rnorm_c=cache[4],
+            nMrz_c=cache[5],
+            nMrv_c=cache[6],
         )
 
     return body

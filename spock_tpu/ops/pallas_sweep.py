@@ -97,17 +97,23 @@ def _scratch_padded(meta: ProblemMeta) -> int:
     return sum(_padded(f, w) for f, w in blocks)
 
 
-def _vmem_bytes(meta: ProblemMeta, bt: int, n_out_iterates: int) -> int:
+def _vmem_bytes(
+    meta: ProblemMeta, bt: int, n_out_iterates: int, n_in_iterates: int = 1
+) -> int:
     """Estimated scoped-VMEM bytes for one sweep-kernel grid step: I/O blocks
     are double-buffered by the Mosaic pipeline; scratch is persistent."""
     it = _iterate_padded(meta)
-    io = (1 + n_out_iterates) * it + _padded(meta.nx, 1)  # inputs + outputs
+    io = (n_in_iterates + n_out_iterates) * it + _padded(meta.nx, 1)
     return 4 * bt * (2 * io + _scratch_padded(meta))
 
 
-def _pick_bt(meta: ProblemMeta, B: int, n_out_iterates: int) -> int:
+def _pick_bt(
+    meta: ProblemMeta, B: int, n_out_iterates: int, n_in_iterates: int = 1
+) -> int:
     for cand in (8, 4, 2, 1):
-        if B % cand == 0 and _vmem_bytes(meta, cand, n_out_iterates) <= _VMEM_BUDGET:
+        if B % cand == 0 and _vmem_bytes(
+            meta, cand, n_out_iterates, n_in_iterates
+        ) <= _VMEM_BUDGET:
             return cand
     return 1
 
@@ -129,7 +135,8 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
                 data.ker_proj):
         if arr.shape[0] != 1:
             return False
-    return _vmem_bytes(meta, 1, 2) <= _VMEM_BUDGET
+    # worst case: the candidate kernel (2 input iterates, 2 output iterates)
+    return _vmem_bytes(meta, 1, 2, 2) <= _VMEM_BUDGET
 
 
 def _mm(M, X):
@@ -157,7 +164,25 @@ def _soc_pieces(t, xn_sq):
     return t_out, x_scale
 
 
-def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
+def _make_kernel(
+    meta: ProblemMeta,
+    cone_segments,
+    with_metric: bool = False,
+    with_direction: bool = False,
+):
+    """Build the sweep kernel body.
+
+    with_metric: additionally emit M r of the sweep residual plus per-lane
+    reductions (||r||_M^2, inf-norms of M r's primal/dual halves).
+    with_direction: the kernel evaluates the sweep at the SuperMann
+    *candidate* point (z, v) + tau * (dz, dv) (sp.jl:118-164) — tau and the
+    direction arrive as extra inputs, every z/v read is shifted in VMEM, and
+    the metric image of the direction M d is reduced in-kernel to the three
+    scalars SuperMann actually consumes (<r~, M d> and the two inf-norms for
+    the operator-free termination residuals) without ever materializing M d
+    in HBM.
+    """
+    assert with_metric or not with_direction
     t = meta.tree
     N, d = t.N, t.d
     nx, nu, ny = meta.nx, meta.nu, meta.ny
@@ -180,11 +205,21 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
         vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
         vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
+        # with_direction: tau then the 17 direction blocks
         # outputs: zbar blocks then vbar blocks (then, with_metric, the
-        # metric image M r of the sweep residual r = (z - zbar, v - vbar));
-        # trailing 12 refs are scratch
+        # metric image M r of the sweep residual r = (z - zbar, v - vbar)
+        # and the scalar reductions); trailing 12 refs are scratch
         *rest,
     ):
+        if with_direction:
+            (
+                tau_ref,
+                dzx_ref, dzu_ref, dzs_ref, dztau_ref, dzy_ref,
+                dvy_ref, dvsby_ref, dvqx_ref, dvru_ref, dvt5_ref, dvt6_ref,
+                dvcx_ref, dvcu_ref, dvqNx_ref, dvs12_ref, dvs13_ref,
+                dvcxN_ref,
+            ) = rest[:18]
+            rest = rest[18:]
         out_refs, (gx, gu, gq, gs, gk, gk2, gss, gtt, gqx, gru, gst, gst2) = (
             rest[:-12],
             rest[-12:],
@@ -201,19 +236,67 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         sqrtQN = sqrtQN_ref[:]
         b3 = b_ref[:][None]  # [ny, 1] -> [1, ny, 1] (leading expand is free)
         ker = ker_ref[:]
+
+        # candidate-point accessors: every z/v read is (z + tau d) when the
+        # kernel evaluates a SuperMann candidate, the plain ref otherwise
+        if with_direction:
+            tau_v = tau_ref[:]  # [bt, 1, 1]
+
+            def mk(ref, dref):
+                def get(sl=None):
+                    if sl is None:
+                        return ref[:] + tau_v * dref[:]
+                    return ref[:, :, sl] + tau_v * dref[:, :, sl]
+
+                return get
+
+            zx_, zu_, zs_, ztau_, zy_ = (
+                mk(zx_ref, dzx_ref), mk(zu_ref, dzu_ref), mk(zs_ref, dzs_ref),
+                mk(ztau_ref, dztau_ref), mk(zy_ref, dzy_ref),
+            )
+            vy_, vsby_, vqx_, vru_, vt5_, vt6_ = (
+                mk(vy_ref, dvy_ref), mk(vsby_ref, dvsby_ref),
+                mk(vqx_ref, dvqx_ref), mk(vru_ref, dvru_ref),
+                mk(vt5_ref, dvt5_ref), mk(vt6_ref, dvt6_ref),
+            )
+            vcx_, vcu_, vqNx_, vs12_, vs13_, vcxN_ = (
+                mk(vcx_ref, dvcx_ref), mk(vcu_ref, dvcu_ref),
+                mk(vqNx_ref, dvqNx_ref), mk(vs12_ref, dvs12_ref),
+                mk(vs13_ref, dvs13_ref), mk(vcxN_ref, dvcxN_ref),
+            )
+        else:
+
+            def mk(ref):
+                def get(sl=None):
+                    return ref[:] if sl is None else ref[:, :, sl]
+
+                return get
+
+            zx_, zu_, zs_, ztau_, zy_ = (
+                mk(zx_ref), mk(zu_ref), mk(zs_ref), mk(ztau_ref), mk(zy_ref)
+            )
+            vy_, vsby_, vqx_, vru_, vt5_, vt6_ = (
+                mk(vy_ref), mk(vsby_ref), mk(vqx_ref), mk(vru_ref),
+                mk(vt5_ref), mk(vt6_ref),
+            )
+            vcx_, vcu_, vqNx_, vs12_, vs13_, vcxN_ = (
+                mk(vcx_ref), mk(vcu_ref), mk(vqNx_ref), mk(vs12_ref),
+                mk(vs13_ref), mk(vcxN_ref),
+            )
+
         # per-lane "scalar rows" stay 3D [bt, 1, n] throughout
-        ztau_v = ztau_ref[:]
-        vsby_v = vsby_ref[:]
-        vt5_v = vt5_ref[:]
-        vt6_v = vt6_ref[:]
-        vs12_v = vs12_ref[:]
-        vs13_v = vs13_ref[:]
+        ztau_v = ztau_()
+        vsby_v = vsby_()
+        vt5_v = vt5_()
+        vt6_v = vt6_()
+        vs12_v = vs12_()
+        vs13_v = vs13_()
 
         # ============ z1 = z - gamma * L'(v), into (gx, gu, s', tau', y') ==
         # x: non-leaf part
-        gx[:, :, :n_nl] = vcx_ref[:]
+        gx[:, :, :n_nl] = vcx_()
         # leaf part: cxN + sqrtQN' qNx
-        gx[:, :, ls:] = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
+        gx[:, :, ls:] = vcxN_() + _mm(sqrtQNT_ref[:], vqNx_())
         # stage loops: round the per-stage child-sum temps through scratch so
         # every add sees canonical (offset-0) operands.  gq/gs are free here
         # (first written by the Riccati phase below).
@@ -221,7 +304,7 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
             m = msz[st - 1]
             lo = off[st] - 1
             gq[:, :, 0 : d * m] = _mm(
-                sqrtQT_ref[:], vqx_ref[:, :, lo : lo + d * m]
+                sqrtQT_ref[:], vqx_(slice(lo, lo + d * m))
             )
             acc = gq[:, :, 0:m]
             for k in range(1, d):
@@ -230,12 +313,12 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
                 gx[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
         # u
-        gu[:] = vcu_ref[:]
+        gu[:] = vcu_()
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
             gs[:, :, 0 : d * m] = _mm(
-                sqrtRT_ref[:], vru_ref[:, :, lo : lo + d * m]
+                sqrtRT_ref[:], vru_(slice(lo, lo + d * m))
             )
             acc = gs[:, :, 0:m]
             for k in range(1, d):
@@ -244,15 +327,15 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
                 gu[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
         # z1 for x,u (overwrite scratch with z - gamma * LT)
-        gx[:] = zx_ref[:] - gamma * gx[:]
-        gu[:] = zu_ref[:] - gamma * gu[:]
+        gx[:] = zx_() - gamma * gx[:]
+        gu[:] = zu_() - gamma * gu[:]
         # s, tau, y — store the pre-projection values in gss/gtt for the
         # offset-shifting S2 gather below
         lt_s_lf = 0.5 * (vs12_v + vs13_v)
-        gss[:, :, :n_nl] = zs_ref[:, :, :n_nl] - gamma * vsby_v
-        gss[:, :, ls:] = zs_ref[:, :, ls:] - gamma * lt_s_lf
+        gss[:, :, :n_nl] = zs_(slice(0, n_nl)) - gamma * vsby_v
+        gss[:, :, ls:] = zs_(slice(ls, n)) - gamma * lt_s_lf
         gtt[:] = ztau_v - gamma * 0.5 * (vt5_v + vt6_v)
-        y1 = zy_ref[:] - gamma * (vy_ref[:] - b3 * vsby_v)
+        y1 = zy_() - gamma * (vy_() - b3 * vsby_v)
 
         # ============ prox_f ============
         # ---- S1 Riccati: backward ----
@@ -335,15 +418,15 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         tau_val = oztau[:]
 
         # ============ vbar = prox_h*(v + sigma L (2 zbar - z)) ============
-        ru_ = 2.0 * gu[:] - zu_ref[:]
-        rs_nl = 2.0 * s_nl_val - zs_ref[:, :, :n_nl]
-        rs_lf = 2.0 * s_lf_val - zs_ref[:, :, ls:]
+        ru_ = 2.0 * gu[:] - zu_()
+        rs_nl = 2.0 * s_nl_val - zs_(slice(0, n_nl))
+        rs_lf = 2.0 * s_lf_val - zs_(slice(ls, n))
         rtau = 2.0 * tau_val - ztau_v
-        ry = 2.0 * y_p - zy_ref[:]
+        ry = 2.0 * y_p - zy_()
 
         inv = 1.0 / sigma
         # --- y block (w = v/sigma + L(refl)): L v1 block = ry
-        wy = vy_ref[:] * inv + ry
+        wy = vy_() * inv + ry
         rid = jax.lax.broadcasted_iota(jnp.int32, wy.shape, dimension=1)
         py = wy
         for kind, lo_, hi_ in cone_segments:
@@ -367,15 +450,15 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
             m = msz[st - 1]
             lo = off[st] - 1
             po = off[st - 1]
-            xp = 2.0 * gx[:, :, po : po + m] - zx_ref[:, :, po : po + m]
-            up = 2.0 * gu[:, :, po : po + m] - zu_ref[:, :, po : po + m]
+            xp = 2.0 * gx[:, :, po : po + m] - zx_(slice(po, po + m))
+            up = 2.0 * gu[:, :, po : po + m] - zu_(slice(po, po + m))
             qxp = _mm(sqrtQ, xp)
             rup = _mm(sqrtR, up)
             for k in range(d):
                 gqx[:, :, lo + k * m : lo + (k + 1) * m] = qxp
                 gru[:, :, lo + k * m : lo + (k + 1) * m] = rup
-        wqx = vqx_ref[:] * inv + gqx[:]
-        wru = vru_ref[:] * inv + gru[:]
+        wqx = vqx_() * inv + gqx[:]
+        wru = vru_() * inv + gru[:]
         wt5 = vt5_v * inv + 0.5 * rtau - 0.5
         wt6 = vt6_v * inv + 0.5 * rtau + 0.5
         xn_sq = (
@@ -389,8 +472,8 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         ovru[:] = sigma * (wru - x_scale * wru)
         ovt5[:] = sigma * (wt5 - x_scale * wt5)
         # --- leaf SOC: qNx/s12/s13 (leaf slice re-loaded, not register-cut)
-        rx_lf = 2.0 * gx[:, :, ls:] - zx_ref[:, :, ls:]
-        wqNx = vqNx_ref[:] * inv + _mm(sqrtQN, rx_lf)
+        rx_lf = 2.0 * gx[:, :, ls:] - zx_(slice(ls, n))
+        wqNx = vqNx_() * inv + _mm(sqrtQN, rx_lf)
         ws12 = vs12_v * inv + 0.5 * rs_lf - 0.5
         ws13 = vs13_v * inv + 0.5 * rs_lf + 0.5
         xn_sq_l = jnp.sum(wqNx * wqNx, axis=1, keepdims=True) + ws12 * ws12
@@ -403,12 +486,12 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         xmax = xmax_ref[:][None]
         umin = umin_ref[:][None]
         umax = umax_ref[:][None]
-        rx_nl = 2.0 * gx[:, :, :n_nl] - zx_ref[:, :, :n_nl]
-        wcx = vcx_ref[:] * inv + rx_nl
+        rx_nl = 2.0 * gx[:, :, :n_nl] - zx_(slice(0, n_nl))
+        wcx = vcx_() * inv + rx_nl
         ovcx[:] = sigma * (wcx - jnp.clip(wcx, xmin, xmax))
-        wcu = vcu_ref[:] * inv + ru_
+        wcu = vcu_() * inv + ru_
         ovcu[:] = sigma * (wcu - jnp.clip(wcu, umin, umax))
-        wcxN = vcxN_ref[:] * inv + rx_lf
+        wcxN = vcxN_() * inv + rx_lf
         ovcxN[:] = sigma * (wcxN - jnp.clip(wcxN, xmin, xmax))
 
         if not with_metric:
@@ -424,22 +507,25 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
             omzx, omzu, omzs, omztau, omzy,
             omvy, omvsby, omvqx, omvru, omvt5, omvt6,
             omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
-        ) = out_refs[17:]
+        ) = out_refs[17:34]
         # ---- residual blocks into (reusable) scratch / registers ----
-        gx[:] = zx_ref[:] - gx[:]  # rw.x  (gx held zbar.x)
-        gu[:] = zu_ref[:] - gu[:]  # rw.u
-        gss[:] = zs_ref[:] - ozs[:]  # rw.s
+        gx[:] = zx_() - gx[:]  # rw.x  (gx held zbar.x)
+        gu[:] = zu_() - gu[:]  # rw.u
+        gss[:] = zs_() - ozs[:]  # rw.s
         gtt[:] = ztau_v - oztau[:]  # rw.tau
-        rwy = zy_ref[:] - y_p  # rw.y
-        gqx[:] = vqx_ref[:] - ovqx[:]  # ru.qx  (gqx/gru free after vbar)
-        gru[:] = vru_ref[:] - ovru[:]  # ru.ru
-        ruy = vy_ref[:] - ovy[:]
+        rwy = zy_() - y_p  # rw.y
+        gqx[:] = vqx_() - ovqx[:]  # ru.qx  (gqx/gru free after vbar)
+        gru[:] = vru_() - ovru[:]  # ru.ru
+        ruy = vy_() - ovy[:]
         rusby = vsby_v - ovsby[:]
         rut5 = vt5_v - ovt5[:]
         rut6 = vt6_v - ovt6[:]
         rus12 = vs12_v - ovs12[:]
         rus13 = vs13_v - ovs13[:]
-        ruqNx = vqNx_ref[:] - ovqNx[:]
+        ruqNx = vqNx_() - ovqNx[:]
+        rucx = vcx_() - ovcx[:]
+        rucu = vcu_() - ovcu[:]
+        rucxN = vcxN_() - ovcxN[:]
 
         # ---- M r (dual part): ru - sigma * L(rw) ----
         omvy[:] = ruy - sigma * rwy
@@ -457,18 +543,18 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
                 omvru[:, :, sl] = gru[:, :, sl] - sigma * rup
         omvt5[:] = rut5 - sigma * 0.5 * gtt[:]
         omvt6[:] = rut6 - sigma * 0.5 * gtt[:]
-        omvcx[:] = (vcx_ref[:] - ovcx[:]) - sigma * gx[:, :, :n_nl]
-        omvcu[:] = (vcu_ref[:] - ovcu[:]) - sigma * gu[:]
+        omvcx[:] = rucx - sigma * gx[:, :, :n_nl]
+        omvcu[:] = rucu - sigma * gu[:]
         omvqNx[:] = ruqNx - sigma * _mm(sqrtQN, gx[:, :, ls:])
         omvs12[:] = rus12 - sigma * 0.5 * gss[:, :, ls:]
         omvs13[:] = rus13 - sigma * 0.5 * gss[:, :, ls:]
-        omvcxN[:] = (vcxN_ref[:] - ovcxN[:]) - sigma * gx[:, :, ls:]
+        omvcxN[:] = rucxN - sigma * gx[:, :, ls:]
 
         # ---- M r (primal part): rw - gamma * L'(ru) ----
         # accumulate L'(ru).x / .u in the output refs, then finish in place
-        omzx[:, :, :n_nl] = vcx_ref[:] - ovcx[:]
-        omzx[:, :, ls:] = (vcxN_ref[:] - ovcxN[:]) + _mm(sqrtQNT_ref[:], ruqNx)
-        omzu[:] = vcu_ref[:] - ovcu[:]
+        omzx[:, :, :n_nl] = rucx
+        omzx[:, :, ls:] = rucxN + _mm(sqrtQNT_ref[:], ruqNx)
+        omzu[:] = rucu
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
@@ -496,6 +582,165 @@ def _make_kernel(meta: ProblemMeta, cone_segments, with_metric: bool = False):
         omzs[:, :, ls:] = gss[:, :, ls:] - gamma * 0.5 * (rus12 + rus13)
         omztau[:] = gtt[:] - gamma * 0.5 * (rut5 + rut6)
         omzy[:] = rwy - gamma * (ruy - b3 * rusby)
+
+        # ---- scalar reductions: ||r||_M^2 and inf-norms of M r ----
+        # (the per-lane numbers SuperMann otherwise computes with separate
+        # full passes over the iterate — sp.jl:133-164 via spock_dot).
+        # Two-stage reductions: Mosaic's layout inference aborts on a single
+        # axis=(1, 2) multi-reduction to [bt, 1, 1] (inferReshape check
+        # failure, TPU-probed), but sublane-then-lane reductions lower fine.
+        def s3(x):
+            return jnp.sum(
+                jnp.sum(x, axis=1, keepdims=True), axis=2, keepdims=True
+            )
+
+        def a3(x):
+            return jnp.max(
+                jnp.max(jnp.abs(x), axis=1, keepdims=True),
+                axis=2,
+                keepdims=True,
+            )
+
+        ornsq, onmz, onmv = out_refs[34:37]
+        rnsq = (
+            s3(gx[:] * omzx[:]) + s3(gu[:] * omzu[:]) + s3(gss[:] * omzs[:])
+            + s3(gtt[:] * omztau[:]) + s3(rwy * omzy[:])
+            + s3(ruy * omvy[:]) + s3(rusby * omvsby[:])
+            + s3(gqx[:] * omvqx[:]) + s3(gru[:] * omvru[:])
+            + s3(rut5 * omvt5[:]) + s3(rut6 * omvt6[:])
+            + s3(rucx * omvcx[:]) + s3(rucu * omvcu[:])
+            + s3(ruqNx * omvqNx[:]) + s3(rus12 * omvs12[:])
+            + s3(rus13 * omvs13[:]) + s3(rucxN * omvcxN[:])
+        )
+        ornsq[:] = rnsq
+        onmz[:] = jnp.maximum(
+            jnp.maximum(
+                jnp.maximum(a3(omzx[:]), a3(omzu[:])),
+                jnp.maximum(a3(omzs[:]), a3(omztau[:])),
+            ),
+            a3(omzy[:]),
+        )
+        nmv = a3(omvy[:])
+        for ref in (omvsby, omvqx, omvru, omvt5, omvt6, omvcx, omvcu,
+                    omvqNx, omvs12, omvs13, omvcxN):
+            nmv = jnp.maximum(nmv, a3(ref[:]))
+        onmv[:] = nmv
+
+        if not with_direction:
+            return
+
+        # ============ reductions of the direction metric M d ============
+        # SuperMann consumes M d only through <r~, M d> (the rho test,
+        # sp.jl:193-222) and the inf-norms of its halves (operator-free
+        # termination residuals) — reduce every block on the fly, nothing
+        # goes back to HBM.
+        orho, onmdz, onmdv = out_refs[37:40]
+        dzy_v = dzy_ref[:]
+        dvy_v = dvy_ref[:]
+        dvsby_v = dvsby_ref[:]
+        dvt5_v = dvt5_ref[:]
+        dvt6_v = dvt6_ref[:]
+        dvs12_v = dvs12_ref[:]
+        dvs13_v = dvs13_ref[:]
+        dzs_v = dzs_ref[:]
+        dztau_v = dztau_ref[:]
+
+        # ---- M d (dual): dv - sigma L dz, dotted with ru blocks ----
+        mdvy = dvy_v - sigma * dzy_v
+        rho = s3(ruy * mdvy)
+        nmdv = a3(mdvy)
+        bty_d = jnp.sum(b3 * dzy_v, axis=1, keepdims=True)
+        mdvsby = dvsby_v - sigma * (dzs_v[:, :, :n_nl] - bty_d)
+        rho = rho + s3(rusby * mdvsby)
+        nmdv = jnp.maximum(nmdv, a3(mdvsby))
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            po = off[st - 1]
+            qxp_d = _mm(sqrtQ, dzx_ref[:, :, po : po + m])
+            rup_d = _mm(sqrtR, dzu_ref[:, :, po : po + m])
+            for k in range(d):
+                sl = slice(lo + k * m, lo + (k + 1) * m)
+                mdvqx = dvqx_ref[:, :, sl] - sigma * qxp_d
+                mdvru = dvru_ref[:, :, sl] - sigma * rup_d
+                rho = rho + s3(gqx[:, :, sl] * mdvqx) + s3(
+                    gru[:, :, sl] * mdvru
+                )
+                nmdv = jnp.maximum(
+                    nmdv, jnp.maximum(a3(mdvqx), a3(mdvru))
+                )
+        mdvt5 = dvt5_v - sigma * 0.5 * dztau_v
+        mdvt6 = dvt6_v - sigma * 0.5 * dztau_v
+        rho = rho + s3(rut5 * mdvt5) + s3(rut6 * mdvt6)
+        nmdv = jnp.maximum(nmdv, jnp.maximum(a3(mdvt5), a3(mdvt6)))
+        mdvcx = dvcx_ref[:] - sigma * dzx_ref[:, :, :n_nl]
+        mdvcu = dvcu_ref[:] - sigma * dzu_ref[:]
+        rho = rho + s3(rucx * mdvcx) + s3(rucu * mdvcu)
+        nmdv = jnp.maximum(nmdv, jnp.maximum(a3(mdvcx), a3(mdvcu)))
+        mdvqNx = dvqNx_ref[:] - sigma * _mm(sqrtQN, dzx_ref[:, :, ls:])
+        mdvs12 = dvs12_v - sigma * 0.5 * dzs_v[:, :, ls:]
+        mdvs13 = dvs13_v - sigma * 0.5 * dzs_v[:, :, ls:]
+        mdvcxN = dvcxN_ref[:] - sigma * dzx_ref[:, :, ls:]
+        rho = (
+            rho + s3(ruqNx * mdvqNx) + s3(rus12 * mdvs12)
+            + s3(rus13 * mdvs13) + s3(rucxN * mdvcxN)
+        )
+        nmdv = jnp.maximum(
+            nmdv,
+            jnp.maximum(
+                jnp.maximum(a3(mdvqNx), a3(mdvs12)),
+                jnp.maximum(a3(mdvs13), a3(mdvcxN)),
+            ),
+        )
+        onmdv[:] = nmdv
+
+        # ---- M d (primal): dz - gamma L' dv, dotted with rw blocks ----
+        mdzy = dzy_v - gamma * (dvy_v - b3 * dvsby_v)
+        rho = rho + s3(rwy * mdzy)
+        nmdz = a3(mdzy)
+        mdzs_nl = dzs_v[:, :, :n_nl] - gamma * dvsby_v
+        mdzs_lf = dzs_v[:, :, ls:] - gamma * 0.5 * (dvs12_v + dvs13_v)
+        rho = rho + s3(gss[:, :, :n_nl] * mdzs_nl) + s3(
+            gss[:, :, ls:] * mdzs_lf
+        )
+        nmdz = jnp.maximum(nmdz, jnp.maximum(a3(mdzs_nl), a3(mdzs_lf)))
+        mdztau = dztau_v - gamma * 0.5 * (dvt5_v + dvt6_v)
+        rho = rho + s3(gtt[:] * mdztau)
+        nmdz = jnp.maximum(nmdz, a3(mdztau))
+        mdzx_lf = dzx_ref[:, :, ls:] - gamma * (
+            dvcxN_ref[:] + _mm(sqrtQNT_ref[:], dvqNx_ref[:])
+        )
+        rho = rho + s3(gx[:, :, ls:] * mdzx_lf)
+        nmdz = jnp.maximum(nmdz, a3(mdzx_lf))
+        # per-stage child sums via the (now free) gq/gs scratch
+        for st in range(1, N):
+            m = msz[st - 1]
+            lo = off[st] - 1
+            po = off[st - 1]
+            gq[:, :, 0 : d * m] = _mm(
+                sqrtQT_ref[:], dvqx_ref[:, :, lo : lo + d * m]
+            )
+            acc = gq[:, :, 0:m]
+            for k in range(1, d):
+                acc = acc + gq[:, :, k * m : (k + 1) * m]
+            mdzx_st = dzx_ref[:, :, po : po + m] - gamma * (
+                dvcx_ref[:, :, po : po + m] + acc
+            )
+            rho = rho + s3(gx[:, :, po : po + m] * mdzx_st)
+            nmdz = jnp.maximum(nmdz, a3(mdzx_st))
+            gs[:, :, 0 : d * m] = _mm(
+                sqrtRT_ref[:], dvru_ref[:, :, lo : lo + d * m]
+            )
+            accu = gs[:, :, 0:m]
+            for k in range(1, d):
+                accu = accu + gs[:, :, k * m : (k + 1) * m]
+            mdzu_st = dzu_ref[:, :, po : po + m] - gamma * (
+                dvcu_ref[:, :, po : po + m] + accu
+            )
+            rho = rho + s3(gu[:, :, po : po + m] * mdzu_st)
+            nmdz = jnp.maximum(nmdz, a3(mdzu_st))
+        orho[:] = rho
+        onmdz[:] = nmdz
 
     return kernel
 
@@ -727,14 +972,47 @@ def cp_sweep_metric_fused(
     x0,
     interpret: bool = False,
 ):
-    """cp_sweep + the metric image of its fixed-point residual, one kernel.
+    """cp_sweep + the metric image of its fixed-point residual + per-lane
+    reductions, one kernel.
 
-    Returns ``(zbar, vbar, Mrz, Mrv)`` with ``(Mrz, Mrv) = M (z - zbar,
-    v - vbar)`` — what SuperMann needs after every sweep (sp.jl:133-164
-    computes it with a separate spock_dot L/L' pair; here it rides the
-    same VMEM residency as the sweep itself)."""
+    Returns ``(zbar, vbar, Mrz, Mrv, rnorm_sq, nMrz, nMrv)`` with
+    ``(Mrz, Mrv) = M (z - zbar, v - vbar)``, ``rnorm_sq = <r, M r>`` and
+    ``nMrz/nMrv`` the inf-norms of M r's halves — everything SuperMann needs
+    after a sweep (sp.jl:133-164 computes these with a separate spock_dot
+    L/L' pair plus reduction passes; here they ride the same VMEM residency
+    as the sweep itself)."""
     return _sweep_impl(
         data, meta, z, v, gamma, sigma, x0, True, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def candidate_sweep_fused(
+    data: ProblemData,
+    meta: ProblemMeta,
+    z: Primal,
+    v: Dual,
+    dz: Primal,
+    dv: Dual,
+    tau,
+    gamma,
+    sigma,
+    x0,
+    interpret: bool = False,
+):
+    """SuperMann candidate evaluation, one kernel: the CP sweep at
+    (w, u) = (z, v) + tau (dz, dv), the metric image of the candidate
+    residual, and every scalar the K1/K2 tests consume.
+
+    Returns ``(wbar, ubar, Mrz, Mrv, rnorm_sq, nMrz, nMrv, rho_dot, nMdz,
+    nMdv)`` where the first seven mirror :func:`cp_sweep_metric_fused`
+    evaluated at the candidate point, ``rho_dot = <r~, M d>`` (the
+    correction term of SuperMann's rho test, sp.jl:193-222) and nMdz/nMdv
+    are the inf-norms of M d's halves (operator-free termination residuals
+    for K1 steps).  M d itself never leaves VMEM."""
+    return _sweep_impl(
+        data, meta, z, v, gamma, sigma, x0, True, interpret,
+        direction=(dz, dv, tau),
     )
 
 
@@ -748,12 +1026,16 @@ def _sweep_impl(
     x0,
     with_metric: bool,
     interpret: bool,
+    direction=None,
 ):
     t = meta.tree
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
     B = z.s.shape[0]
-    bt = _pick_bt(meta, B, 2 if with_metric else 1)
+    with_direction = direction is not None
+    bt = _pick_bt(
+        meta, B, 2 if with_metric else 1, 2 if with_direction else 1
+    )
     grid = (B // bt,)
     dtype = z.s.dtype
 
@@ -764,7 +1046,10 @@ def _sweep_impl(
         segs.append((kind, o, o + dim))
         o += dim
 
-    kernel = _make_kernel(meta, tuple(segs), with_metric=with_metric)
+    kernel = _make_kernel(
+        meta, tuple(segs), with_metric=with_metric,
+        with_direction=with_direction,
+    )
 
     def lane(f_dim, n_dim):
         # Mosaic requires the last two block dims to be aligned or full-size;
@@ -850,10 +1135,20 @@ def _sweep_impl(
         jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
     ]
+    pair_lane_specs = list(out_specs)  # the 17 (zbar, vbar) block specs
+    if with_direction:
+        # tau [B, 1, 1] plus the 17 direction blocks after the (z, v) state
+        in_specs = in_specs + [lane(None, 1)] + pair_lane_specs
     if with_metric:
-        # M r outputs: same block structure as (zbar, vbar)
-        out_specs = out_specs + out_specs
-        out_shape = out_shape + out_shape
+        # M r outputs: same block structure as (zbar, vbar); then the
+        # per-lane scalar reductions [B, 1, 1]
+        n_scal = 6 if with_direction else 3
+        out_specs = out_specs + out_specs + [lane(None, 1)] * n_scal
+        out_shape = (
+            out_shape
+            + out_shape
+            + [jax.ShapeDtypeStruct((B, 1, 1), dtype)] * n_scal
+        )
     scratch = [
         pltpu.VMEM((bt, nx, n), dtype),  # gx
         pltpu.VMEM((bt, nu, n_nl), dtype),  # gu
@@ -892,6 +1187,24 @@ def _sweep_impl(
         v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
         v.t6[:, None, :],
         v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
+        *(
+            (
+                jnp.asarray(direction[2], dtype).reshape(B, 1, 1)
+                if jnp.ndim(direction[2])
+                else jnp.full((B, 1, 1), direction[2], dtype),
+                direction[0].x, direction[0].u,
+                direction[0].s[:, None, :], direction[0].tau[:, None, :],
+                direction[0].y,
+                direction[1].y, direction[1].sby[:, None, :],
+                direction[1].qx, direction[1].ru,
+                direction[1].t5[:, None, :], direction[1].t6[:, None, :],
+                direction[1].cx, direction[1].cu, direction[1].qNx,
+                direction[1].s12[:, None, :], direction[1].s13[:, None, :],
+                direction[1].cxN,
+            )
+            if with_direction
+            else ()
+        ),
     )
     sq = lambda a: a[:, 0, :]
 
@@ -907,5 +1220,10 @@ def _sweep_impl(
     zbar, vbar = unpack(outs[:17])
     if not with_metric:
         return zbar, vbar
-    Mrz, Mrv = unpack(outs[17:])
-    return zbar, vbar, Mrz, Mrv
+    Mrz, Mrv = unpack(outs[17:34])
+    scal = [a[:, 0, 0] for a in outs[34:]]
+    if not with_direction:
+        rnsq, nmz, nmv = scal
+        return zbar, vbar, Mrz, Mrv, rnsq, nmz, nmv
+    rnsq, nmz, nmv, rho_dot, nmdz, nmdv = scal
+    return zbar, vbar, Mrz, Mrv, rnsq, nmz, nmv, rho_dot, nmdz, nmdv

@@ -114,10 +114,17 @@ def test_async_mpc_sharded():
 
 
 def test_async_farm_matches_standalone_warm_solves():
-    """Per-solve iteration counts in the async farm are IDENTICAL to a
-    sequence of standalone warm-started solves: lane refill fully resets the
-    per-solve solver state (r_prev/s_prev, quasi-Newton history, r_safe,
-    eta, res0) so a farm solve is indistinguishable from sp_init + warm z/v."""
+    """Per-solve iteration counts in the async farm match a sequence of
+    standalone warm-started solves: lane refill fully resets the per-solve
+    solver state (r_prev/s_prev, quasi-Newton history, r_safe, eta, res0).
+
+    Counts are compared with a tolerance, not bitwise: the AA ring slot is
+    batch-global (one in-place dynamic_update_slice instead of a ~1.5 GB/iter
+    jnp.where rewrite of the [B, m, K] histories), so a refilled lane writes
+    its reset history rows at a rotated ring phase.  The 3x3 Gram solve is
+    permutation-equivariant in exact arithmetic but not bitwise in floating
+    point, and long solve trajectories amplify that rounding into occasional
+    +-10% iteration-count differences on individual solves."""
     from spock_tpu.algorithms import supermann as sp_alg
 
     spec, data, meta = _built()
@@ -144,9 +151,12 @@ def test_async_farm_matches_standalone_warm_solves():
         x = jnp.einsum("bxy,by->bx", Aw, x) + jnp.einsum(
             "bxu,bu->bx", Bw, u0
         )
-    np.testing.assert_array_equal(
-        np.asarray(res_a.iters_per_step), np.stack(iters)
-    )
+    got = np.asarray(res_a.iters_per_step).astype(float)
+    ref = np.stack(iters).astype(float)
+    # cold first step has no refill rotation -> exactly equal
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_allclose(got, ref, rtol=0.25, atol=2)
+    assert abs(got.sum() - ref.sum()) <= 0.05 * ref.sum()
 
 
 def test_async_mpc_chunked_launches():

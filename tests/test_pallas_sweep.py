@@ -76,13 +76,27 @@ def test_fused_metric_variants_match_reference(which):
     mz, mv = pallas_sweep.metric_apply_fused(
         data, meta, z, v, gamma, sigma, interpret=True
     )
-    # sweep + residual metric in one kernel
+    # sweep + residual metric + reductions in one kernel
+    from spock_tpu.zv import inf_norm, vdot
+
     zb_ref, vb_ref = cp_sweep(data, meta, z, v, gamma, sigma, x0)
+    rz_ref, rv_ref = sub(z, zb_ref), sub(v, vb_ref)
     mrz_ref, mrv_ref = metric_apply(
-        data, meta, sub(z, zb_ref), sub(v, vb_ref), gamma, sigma
+        data, meta, rz_ref, rv_ref, gamma, sigma
     )
-    zb, vb, mrz, mrv = pallas_sweep.cp_sweep_metric_fused(
+    zb, vb, mrz, mrv, rnsq, nmz, nmv = pallas_sweep.cp_sweep_metric_fused(
         data, meta, z, v, gamma, sigma, x0, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(rnsq),
+        np.asarray(vdot(rz_ref, mrz_ref, 1) + vdot(rv_ref, mrv_ref, 1)),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmz), np.asarray(inf_norm(mrz_ref, 1)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmv), np.asarray(inf_norm(mrv_ref, 1)), rtol=1e-12
     )
     for got, ref, tag in [
         (mz, mz_ref, "M.z"), (mrz, mrz_ref, "Mr.z"), (zb, zb_ref, "zbar"),
@@ -105,3 +119,78 @@ def test_fused_metric_variants_match_reference(which):
                 atol=1e-10,
                 err_msg=f"{tag}.{name}",
             )
+
+
+@pytest.mark.parametrize("which", ["server_heat", "d3"])
+def test_fused_candidate_sweep_matches_reference(which):
+    """candidate_sweep_fused (candidate construction + sweep + residual
+    metric + M-d reductions in one kernel) vs the jnp composition."""
+    from spock_tpu.ops.linop import metric_apply
+    from spock_tpu.zv import inf_norm, sub, tmap, vdot
+
+    if which == "server_heat":
+        spec = server_heat.make_spec(N=4, nx=5, d=2)
+    else:
+        spec = server_heat.make_spec(N=3, nx=3, d=3)
+    data, meta = build(spec, dtype=jnp.float64)
+    assert pallas_sweep.supported(meta, data)
+    rng = np.random.default_rng(2)
+    B = 4
+    z = rand_primal(rng, meta, batch=(B,))
+    v = rand_dual(rng, meta, batch=(B,))
+    dz = rand_primal(rng, meta, batch=(B,))
+    dv = rand_dual(rng, meta, batch=(B,))
+    x0 = jnp.asarray(rng.standard_normal((B, meta.nx)))
+    tau = jnp.asarray(rng.uniform(0.25, 1.0, (B,)))
+    gamma, sigma = 0.3, 0.25
+
+    bx = lambda a, ref: a.reshape(a.shape + (1,) * (ref.ndim - a.ndim))
+    w = tmap(lambda zl, dl: zl + bx(tau, zl) * dl, z, dz)
+    u = tmap(lambda vl, dl: vl + bx(tau, vl) * dl, v, dv)
+    wb_ref, ub_ref = cp_sweep(data, meta, w, u, gamma, sigma, x0)
+    rw_ref, ru_ref = sub(w, wb_ref), sub(u, ub_ref)
+    mrz_ref, mrv_ref = metric_apply(data, meta, rw_ref, ru_ref, gamma, sigma)
+    mdz_ref, mdv_ref = metric_apply(data, meta, dz, dv, gamma, sigma)
+
+    (
+        wb, ub, mrz, mrv, rnsq, nmz, nmv, rho_dot, nmdz, nmdv
+    ) = pallas_sweep.candidate_sweep_fused(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0, interpret=True
+    )
+    for got, ref, tag in [(wb, wb_ref, "wbar"), (mrz, mrz_ref, "Mr.z")]:
+        for name in ["x", "u", "s", "tau", "y"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref, name)),
+                atol=1e-10, err_msg=f"{tag}.{name}",
+            )
+    for got, ref, tag in [(ub, ub_ref, "ubar"), (mrv, mrv_ref, "Mr.v")]:
+        for name in ["y", "sby", "qx", "ru", "t5", "t6", "cx", "cu", "qNx",
+                     "s12", "s13", "cxN"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(ref, name)),
+                atol=1e-10, err_msg=f"{tag}.{name}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(rnsq),
+        np.asarray(vdot(rw_ref, mrz_ref, 1) + vdot(ru_ref, mrv_ref, 1)),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rho_dot),
+        np.asarray(vdot(rw_ref, mdz_ref, 1) + vdot(ru_ref, mdv_ref, 1)),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmz), np.asarray(inf_norm(mrz_ref, 1)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmv), np.asarray(inf_norm(mrv_ref, 1)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmdz), np.asarray(inf_norm(mdz_ref, 1)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(nmdv), np.asarray(inf_norm(mdv_ref, 1)), rtol=1e-12
+    )
