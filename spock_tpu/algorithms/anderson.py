@@ -54,11 +54,19 @@ def _solve3(A, b):
     return jnp.stack([x0, x1, x2], axis=-1) * inv[:, None]
 
 
-def direction_flat(MR, MP, r):
+def direction_flat(MR, MP, r, valid=None):
     """Flat-history Anderson direction.
 
     MR/MP: [B, m, K] histories (rows in arbitrary order); r: [B, K].
     Returns d = -r - gamma' MP with gamma from regularized normal equations.
+
+    valid: optional [B, m] bool — rows whose history is live for the lane's
+    CURRENT solve.  Invalid rows are excluded *algebraically* (their Gram
+    entries, projections, and gamma are zeroed — exactly what physically
+    zeroed rows would contribute), so stale rows left over from a previous
+    solve in the same buffer never need an O(B m K) zeroing pass.  This is
+    what lets the async MPC farm refill a lane without touching the
+    histories.
 
     Bandwidth notes (this is the hottest glue in the SuperMann body): the
     Gram and projection run as batched matmuls — einsum
@@ -69,6 +77,10 @@ def direction_flat(MR, MP, r):
     dtype = MR.dtype
     G = jnp.matmul(MR, MR.swapaxes(-1, -2))  # [B, m, m]
     c = jnp.matmul(MR, r[:, :, None])[..., 0]  # [B, m]
+    if valid is not None:
+        vm = valid.astype(dtype)  # [B, m]
+        G = G * (vm[:, :, None] * vm[:, None, :])
+        c = c * vm
     tr = jnp.trace(G, axis1=-2, axis2=-1)
     eps = jnp.asarray(1e-10, dtype) * (tr / m) + jnp.asarray(1e-30, dtype)
     Greg = G + eps[:, None, None] * jnp.eye(m, dtype=dtype)
@@ -76,6 +88,8 @@ def direction_flat(MR, MP, r):
         gamma = _solve3(Greg, c)
     else:
         gamma = jnp.linalg.solve(Greg, c[..., None])[..., 0]
+    if valid is not None:
+        gamma = gamma * vm
     return -r - jnp.matmul(gamma[:, None, :], MP)[:, 0]
 
 

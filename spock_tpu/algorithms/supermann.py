@@ -244,27 +244,36 @@ def sp_body(
         rv = sub(c.v, vbar)
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
+        # A lane on its first iteration of a solve (niter == 0: fresh start
+        # or farm refill) has no valid previous residual/step: mask them to
+        # zero on the READ side.  This fuses into the elementwise ops (no
+        # extra pass) and replaces the farm's O(B K) per-refill resets.
         r_flat = _ravel_pair(rz, rv)
-        y_flat = r_flat - c.r_prev
-        s_flat = c.s_prev
+        has_prev = (c.niter > 0)[:, None]
+        y_flat = r_flat - jnp.where(has_prev, c.r_prev, 0.0)
+        s_flat = jnp.where(has_prev, c.s_prev, 0.0)
         if opts.direction == "anderson":
             # BATCH-GLOBAL ring slot (it mod m): the row write is one
             # dynamic_update_slice that XLA performs in place inside the
             # while carry — a per-lane slot would need a jnp.where over the
             # full [B, m, K] histories (read + rewrite ~1.5 GB/iter at
-            # B=128, measured 1.9 ms slower on chip).  For standalone
-            # solves niter == it on every active lane, so this is
-            # bitwise-identical to the per-lane ring; a farm-refilled lane
-            # writes its (reset) history rows at a rotated phase, which
-            # changes the 3x3 Gram solve only at fp-rounding level.
-            slot = jnp.mod(c.it, opts.aa_window)
+            # B=128, measured 1.9 ms slower on chip).  Rows older than the
+            # lane's current solve (age > niter — possible only after a farm
+            # refill) are excluded algebraically by the validity mask, which
+            # contributes the exact zeros physically zeroed rows would; for
+            # standalone solves niter == it on every active lane so the mask
+            # only blanks the rows sp_init zeroed anyway.
+            m = opts.aa_window
+            slot = jnp.mod(c.it, m)
             MR = jax.lax.dynamic_update_slice_in_dim(
                 c.dirstate[0], y_flat[:, None, :], slot, axis=1
             )
             MP = jax.lax.dynamic_update_slice_in_dim(
                 c.dirstate[1], (s_flat - y_flat)[:, None, :], slot, axis=1
             )
-            d_flat = anderson.direction_flat(MR, MP, r_flat)
+            age = jnp.mod(c.it - jnp.arange(m, dtype=c.it.dtype), m)  # [m]
+            valid = age[None, :] <= c.niter[:, None]  # [B, m]
+            d_flat = anderson.direction_flat(MR, MP, r_flat, valid=valid)
             dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
             dirstate = (MR, MP)
         elif opts.direction == "broyden":

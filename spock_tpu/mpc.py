@@ -185,13 +185,22 @@ def _simulate_async_jit(
         # the reference's warm-start semantics; res0 reset per solve as in
         # models/spock.jl:248).  A lane stays done only when it has no steps
         # left; a lane that just converged with steps remaining restarts.
-        # The quasi-Newton memory (r_prev/s_prev and the AA/Broyden history)
-        # is also reset per lane: secants spanning an x0 change are not valid
-        # curvature information, and a refilled lane must behave exactly like
-        # a standalone warm-started solve (sp_init semantics).
-        def lane_reset(a):
-            m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
-            return jnp.where(m, jnp.zeros_like(a), a)
+        # The quasi-Newton memory (r_prev/s_prev and the AA history) needs
+        # NO data reset: niter=0 makes sp_body mask the stale
+        # r_prev/s_prev reads and the AA validity mask excludes history
+        # rows older than the current solve algebraically — the refilled
+        # lane behaves exactly like a standalone warm-started solve without
+        # the O(B K) zeroing passes (~1.5 GB/iteration at B=128) the
+        # explicit reset cost.  Broyden keeps its internal ring state,
+        # which must still be zeroed per lane.
+        if opts.direction == "broyden":
+            def lane_reset(a):
+                m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
+                return jnp.where(m, jnp.zeros_like(a), a)
+
+            dirstate = jax.tree_util.tree_map(lane_reset, sp.dirstate)
+        else:
+            dirstate = sp.dirstate
 
         sp = dataclasses.replace(
             sp,
@@ -201,9 +210,7 @@ def _simulate_async_jit(
             r_safe=jnp.where(fin, jnp.inf, sp.r_safe),
             eta=jnp.where(fin, jnp.inf, sp.eta),
             niter=jnp.where(fin, 0, sp.niter),
-            r_prev=lane_reset(sp.r_prev),
-            s_prev=lane_reset(sp.s_prev),
-            dirstate=jax.tree_util.tree_map(lane_reset, sp.dirstate),
+            dirstate=dirstate,
             # a lane that advanced invalidates the batchwide sweep cache
             cache_valid=sp.cache_valid & ~jnp.any(fin),
         )
