@@ -47,6 +47,21 @@ def main():
     spec = server_heat.make_spec(N=N, nx=nx, d=d)
     data, meta = build(spec, dtype=jnp.float32)
 
+    # record (and, for the headline config, enforce) which sweep path runs:
+    # a silent supported() regression would otherwise cost ~2.5x undetected.
+    from spock_tpu.ops import pallas_sweep
+
+    sweep_path = {
+        "enabled": pallas_sweep.enabled(),
+        "supported": pallas_sweep.supported(meta, data),
+    }
+    sweep_path["fused"] = sweep_path["enabled"] and sweep_path["supported"]
+    if os.environ.get("SPOCK_PALLAS_SWEEP") != "0":
+        assert sweep_path["fused"], (
+            "headline config fell off the fused megakernel path: "
+            f"{sweep_path}"
+        )
+
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-0.6, 0.6, (B, meta.nx)), jnp.float32)
     ws_warm = jnp.asarray(rng.integers(0, d, size=(warm_steps, B)))
@@ -132,6 +147,7 @@ def main():
                     "total_sweep_iterations": int(res2.total_iterations),
                     "wall_s": round(float(np.median(walls)), 3),
                     "controls_max_err": controls_max_err,
+                    "sweep_path": sweep_path,
                     "device": str(jax.devices()[0]),
                 },
             }

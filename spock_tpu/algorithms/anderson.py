@@ -93,6 +93,90 @@ def direction_flat(MR, MP, r, valid=None):
     return -r - jnp.matmul(gamma[:, None, :], MP)[:, 0]
 
 
+def hist_insert(H, new):
+    """Insert ``new`` as row 0 of a newest-first history, shifting older rows
+    right (the oldest falls off).
+
+    H: pytree with leaves [B, m, *event]; new: matching pytree with leaves
+    [B, *event].  Newest-first rotation replaces the ring-slot scheme: the
+    row order is identical for every lane at every iteration, so a lane
+    refilled mid-farm sees exactly the history layout a standalone
+    warm-started solve would — bitwise, not just algebraically."""
+    return tmap(
+        lambda h, nl: jnp.concatenate([nl[:, None], h[:, :-1]], axis=1),
+        H,
+        new,
+    )
+
+
+def direction_struct(MR, MP, r, niter):
+    """Anderson direction over structured newest-first histories.
+
+    MR/MP: pytrees with leaves [B, m, *event] (row 0 = newest, see
+    :func:`hist_insert`); r: residual pytree (leaves [B, *event]); niter:
+    [B] per-lane iteration counter of the current solve.
+
+    Row j was inserted j iterations ago, so it belongs to the lane's current
+    solve iff ``j <= niter`` — stale rows (left over from a previous solve
+    after an async-farm refill) are excluded *algebraically*: their Gram
+    entries and gamma weights are zeroed, contributing the exact zeros
+    physically zeroed rows would.  No O(B m K) reset pass, and the result is
+    bitwise equal to a standalone warm solve (validity masking commutes with
+    the closed-form 3x3 solve).
+
+    All reductions are leafwise (no flatten/concat across the node axis), so
+    node shardings of the leaves survive: the Gram lowers to per-shard
+    partial sums + an all-reduce of [B, m, m] scalars — this is what makes
+    SuperMann runnable on node-sharded big trees.
+    """
+    mr_leaves = jax.tree_util.tree_leaves(MR)
+    mp_leaves = jax.tree_util.tree_leaves(MP)
+    r_leaves = jax.tree_util.tree_leaves(r)
+    m = mr_leaves[0].shape[1]
+    B = mr_leaves[0].shape[0]
+    dtype = mr_leaves[0].dtype
+
+    def red(a):
+        return jnp.sum(a, axis=tuple(range(1, a.ndim)))
+
+    # Gram G_ij = <y_i, y_j> and c_j = <y_j, r>, leafwise accumulation; m is
+    # tiny (3) so the symmetric entry loop beats any batched-matmul reshape
+    # (which would merge — and therefore gather — sharded node axes).
+    G = [[jnp.zeros((B,), dtype) for _ in range(m)] for _ in range(m)]
+    c = [jnp.zeros((B,), dtype) for _ in range(m)]
+    for hl, rl in zip(mr_leaves, r_leaves):
+        for i in range(m):
+            for j in range(i, m):
+                G[i][j] = G[i][j] + red(hl[:, i] * hl[:, j])
+            c[i] = c[i] + red(hl[:, i] * rl)
+    for i in range(m):
+        for j in range(i):
+            G[i][j] = G[j][i]
+    Gm = jnp.stack([jnp.stack(row, axis=-1) for row in G], axis=-2)
+    cm = jnp.stack(c, axis=-1)
+
+    vm = (jnp.arange(m)[None, :] <= niter[:, None]).astype(dtype)  # [B, m]
+    Gm = Gm * (vm[:, :, None] * vm[:, None, :])
+    cm = cm * vm
+    tr = jnp.trace(Gm, axis1=-2, axis2=-1)
+    eps = jnp.asarray(1e-10, dtype) * (tr / m) + jnp.asarray(1e-30, dtype)
+    Greg = Gm + eps[:, None, None] * jnp.eye(m, dtype=dtype)
+    if m == 3:
+        gamma = _solve3(Greg, cm)
+    else:
+        gamma = jnp.linalg.solve(Greg, cm[..., None])[..., 0]
+    gamma = gamma * vm
+
+    def comb(rl, pl):
+        acc = -rl
+        for j in range(m):
+            g = gamma[:, j].reshape((B,) + (1,) * (rl.ndim - 1))
+            acc = acc - g * pl[:, j]
+        return acc
+
+    return tmap(comb, r, MP)
+
+
 def write_slot(rows: Tuple, col, slot):
     """Functionally replace ring slot ``slot`` (traced scalar) with ``col``.
 

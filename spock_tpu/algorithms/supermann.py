@@ -102,8 +102,8 @@ class SPCarry:
     x0: Any  # [B, nx] — per-lane initial state (rewritable by async drivers)
     z: Primal
     v: Dual
-    r_prev: Any  # [B, K] flat previous residual (feeds the secant y)
-    s_prev: Any  # [B, K] flat z_k - z_{k-1} (the quasi-Newton secant s)
+    r_prev: Any  # (Primal, Dual) previous residual (feeds the secant y)
+    s_prev: Any  # (Primal, Dual) z_k - z_{k-1} (the quasi-Newton secant s)
     dirstate: Any  # direction-provider state (AA history / Broyden ring)
     r_safe: Any  # [B]
     eta: Any  # [B] (K0 threshold)
@@ -114,15 +114,15 @@ class SPCarry:
     xi2: Any
     it: Any  # scalar
     hist: Any  # [max_iter, B, 3] (xi1, xi2, backtracks); shape (0,..) if off
-    # sweep cache: when the whole batch accepted the tau=1 K1 candidate, the
+    # sweep cache: when a lane accepted the tau=1 K1 candidate, the
     # candidate's sweep/metric results ARE the next iteration's (zbar, vbar,
-    # M r, ||r||) — reuse them instead of recomputing (1 sweep + 1 metric
-    # application saved per iteration in warm steady state).
-    cache_valid: Any  # scalar bool
+    # ||r||, inf-norms) for that lane — reuse instead of recomputing (1 sweep
+    # + 1 metric application saved per iteration in warm steady state).
+    # Validity is per lane; the XLA fallback path uses it batch-wide
+    # (lax.cond on all-valid), the fused TPU step kernel selects per lane.
+    cache_valid: Any  # [B] bool
     zbar_c: Primal
     vbar_c: Dual
-    Mrz_c: Primal
-    Mrv_c: Dual
     rnorm_c: Any  # [B]
     nMrz_c: Any  # [B] inf-norm of M r's primal half (cached with the sweep)
     nMrv_c: Any  # [B]
@@ -153,28 +153,30 @@ def sp_init(
     """Build the initial SuperMann carry for a batch of lanes."""
     B = x0.shape[0]
     dtype = x0.dtype
-    K = _ravel_pair(z0, v0).shape[-1]
     if opts.direction == "anderson":
-        # flat [B, m, K] histories: slot writes are one dynamic_update_slice
-        # and the Gram is one einsum (tuple-of-pytree rows cost a lax.switch
-        # copy of the whole history per iteration inside the while carry)
-        dirstate0 = (
-            jnp.zeros((B, opts.aa_window, K), dtype),  # dR (residual diffs)
-            jnp.zeros((B, opts.aa_window, K), dtype),  # dP = dZ - dR
-        )
+        # structured newest-first histories: one (Primal, Dual)-shaped pytree
+        # per window row, leaves [B, m, *event].  No flat concat across the
+        # node axis — shardable, and the layout the fused TPU step kernel
+        # consumes directly.
+        def hzeros(l):
+            return jnp.zeros((B, opts.aa_window) + l.shape[1:], dtype)
+
+        dirstate0 = (tmap(hzeros, (z0, v0)), tmap(hzeros, (z0, v0)))
     elif opts.direction == "broyden":
+        K = _ravel_pair(z0, v0).shape[-1]
         dirstate0 = broyden.init(B, K, opts.broyden_mem, dtype)
     elif opts.direction == "residual":
         dirstate0 = ()
     else:
         raise ValueError(f"unknown direction {opts.direction!r}")
 
+    zpair = (tmap(jnp.zeros_like, z0), tmap(jnp.zeros_like, v0))
     return SPCarry(
         x0=x0,
         z=z0,
         v=v0,
-        r_prev=jnp.zeros((B, K), dtype),
-        s_prev=jnp.zeros((B, K), dtype),
+        r_prev=zpair,
+        s_prev=zpair,
         dirstate=dirstate0,
         r_safe=jnp.full((B,), jnp.inf, dtype),
         eta=jnp.full((B,), jnp.inf, dtype),
@@ -185,11 +187,9 @@ def sp_init(
         xi2=jnp.full((B,), jnp.inf, dtype),
         it=jnp.zeros((), jnp.int32),
         hist=jnp.zeros((max_iter if record else 0, B, 3), dtype),
-        cache_valid=jnp.zeros((), bool),
+        cache_valid=jnp.zeros((B,), bool),
         zbar_c=tmap(jnp.zeros_like, z0),
         vbar_c=tmap(jnp.zeros_like, v0),
-        Mrz_c=tmap(jnp.zeros_like, z0),
-        Mrv_c=tmap(jnp.zeros_like, v0),
         rnorm_c=jnp.zeros((B,), dtype),
         nMrz_c=jnp.zeros((B,), dtype),
         nMrv_c=jnp.zeros((B,), dtype),
@@ -225,58 +225,61 @@ def sp_body(
         x0 = c.x0
         # ---- CP sweep + fixed-point residual (sp.jl:392-395) ----
         def fresh_sweep(_):
-            zbar, vbar, Mrz, Mrv, rnsq, nMrz, nMrv = cp_sweep_metric(
+            zbar, vbar, _Mrz, _Mrv, rnsq, nMrz, nMrv = cp_sweep_metric(
                 data, meta, c.z, c.v, gamma, sigma, x0
             )
             rnorm = jnp.sqrt(jnp.maximum(rnsq, 0.0))
-            return zbar, vbar, Mrz, Mrv, rnorm, nMrz, nMrv
+            return zbar, vbar, rnorm, nMrz, nMrv
 
         def cached_sweep(_):
-            return (
-                c.zbar_c, c.vbar_c, c.Mrz_c, c.Mrv_c, c.rnorm_c,
-                c.nMrz_c, c.nMrv_c,
-            )
+            return (c.zbar_c, c.vbar_c, c.rnorm_c, c.nMrz_c, c.nMrv_c)
 
-        zbar, vbar, Mrz, Mrv, rnorm, nMrz, nMrv = jax.lax.cond(
-            c.cache_valid, cached_sweep, fresh_sweep, None
+        # batch-wide cache use on this (XLA-composed) path: recomputing is
+        # always CORRECT, so one any-lane-invalid triggers a fresh sweep for
+        # everyone.  The fused TPU step kernel selects cached results per
+        # lane instead.
+        zbar, vbar, rnorm, nMrz, nMrv = jax.lax.cond(
+            jnp.all(c.cache_valid), cached_sweep, fresh_sweep, None
         )
         rz = sub(c.z, zbar)
         rv = sub(c.v, vbar)
+        r_pair = (rz, rv)
 
         # ---- quasi-Newton direction (sp.jl:397-401) ----
         # A lane on its first iteration of a solve (niter == 0: fresh start
         # or farm refill) has no valid previous residual/step: mask them to
         # zero on the READ side.  This fuses into the elementwise ops (no
         # extra pass) and replaces the farm's O(B K) per-refill resets.
-        r_flat = _ravel_pair(rz, rv)
-        has_prev = (c.niter > 0)[:, None]
-        y_flat = r_flat - jnp.where(has_prev, c.r_prev, 0.0)
-        s_flat = jnp.where(has_prev, c.s_prev, 0.0)
+        has_prev = c.niter > 0
         if opts.direction == "anderson":
-            # BATCH-GLOBAL ring slot (it mod m): the row write is one
-            # dynamic_update_slice that XLA performs in place inside the
-            # while carry — a per-lane slot would need a jnp.where over the
-            # full [B, m, K] histories (read + rewrite ~1.5 GB/iter at
-            # B=128, measured 1.9 ms slower on chip).  Rows older than the
-            # lane's current solve (age > niter — possible only after a farm
-            # refill) are excluded algebraically by the validity mask, which
-            # contributes the exact zeros physically zeroed rows would; for
-            # standalone solves niter == it on every active lane so the mask
-            # only blanks the rows sp_init zeroed anyway.
-            m = opts.aa_window
-            slot = jnp.mod(c.it, m)
-            MR = jax.lax.dynamic_update_slice_in_dim(
-                c.dirstate[0], y_flat[:, None, :], slot, axis=1
+            # Newest-first rotation of structured (Primal, Dual) histories
+            # (anderson.hist_insert): row j was inserted j iterations ago, so
+            # validity is simply j <= niter — rows older than the lane's
+            # current solve (possible only after a farm refill) are excluded
+            # algebraically and the refilled lane's trajectory is BITWISE
+            # equal to a standalone warm-started solve (the row layout no
+            # longer depends on a global ring phase).
+            y = bwhere(
+                has_prev,
+                (sub(rz, c.r_prev[0]), sub(rv, c.r_prev[1])),
+                r_pair,
             )
-            MP = jax.lax.dynamic_update_slice_in_dim(
-                c.dirstate[1], (s_flat - y_flat)[:, None, :], slot, axis=1
+            p = bwhere(
+                has_prev,
+                tmap(jnp.subtract, c.s_prev, y),
+                tmap(jnp.negative, y),
             )
-            age = jnp.mod(c.it - jnp.arange(m, dtype=c.it.dtype), m)  # [m]
-            valid = age[None, :] <= c.niter[:, None]  # [B, m]
-            d_flat = anderson.direction_flat(MR, MP, r_flat, valid=valid)
-            dz, dv = _unravel_pair(meta, d_flat, c.z, c.v)
+            MR = anderson.hist_insert(c.dirstate[0], y)
+            MP = anderson.hist_insert(c.dirstate[1], p)
+            dz, dv = anderson.direction_struct(MR, MP, r_pair, c.niter)
             dirstate = (MR, MP)
         elif opts.direction == "broyden":
+            hp = has_prev[:, None]
+            r_flat = _ravel_pair(rz, rv)
+            y_flat = r_flat - jnp.where(
+                hp, _ravel_pair(*c.r_prev), 0.0
+            )
+            s_flat = jnp.where(hp, _ravel_pair(*c.s_prev), 0.0)
             sz, sv = _unravel_pair(meta, s_flat, c.z, c.v)
             Msz, Msv = metric_pair(data, meta, sz, sv, gamma, sigma)
             ps_flat = _ravel_pair(Msz, Msv)
@@ -377,7 +380,7 @@ def sp_body(
             looping_out = looping & (~k1) & (~k2)
             return (
                 (z_acc, v_acc, r_safe, xi1, xi2, looping_out, k1),
-                (wbar, ubar, Mrw, Mru, rtilde, nMrwz, nMrwv),
+                (wbar, ubar, rtilde, nMrwz, nMrwv),
             )
 
         # ---- peeled first trial at tau = 1 (the common accept path) ----
@@ -393,9 +396,6 @@ def sp_body(
                 xi2_init,
             )
         )
-        # batch-wide cache validity: every lane either finished earlier or
-        # accepted this exact candidate (so sweep(z_new) == cache values)
-        cache_valid = jnp.all(k1_first | c.done) & jnp.all(c.done | ~looping1)
 
         def bt_cond(b: _BTCarry):
             return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
@@ -432,7 +432,11 @@ def sp_body(
         # ---- termination (sp.jl:270-344), from the accumulated norms ----
         xi1, xi2 = bt.xi1, bt.xi2
         conv, res0 = check_termination(xi1, xi2, c.res0, tol)
-        s_new = _ravel_pair(sub(z_new, c.z), sub(v_new, c.v))
+        s_new = (sub(z_new, c.z), sub(v_new, c.v))
+        # per-lane cache validity: the lane either accepted this exact tau=1
+        # candidate (so sweep(z_new) == cached candidate values) or is/became
+        # done (frozen iterate — its sweep results are never consumed)
+        cache_valid = k1_first | c.done | conv
 
         active = ~c.done
         hist = c.hist
@@ -445,8 +449,8 @@ def sp_body(
             x0=c.x0,
             z=bwhere(active, z_new, c.z),
             v=bwhere(active, v_new, c.v),
-            r_prev=jnp.where(active[:, None], r_flat, c.r_prev),
-            s_prev=jnp.where(active[:, None], s_new, c.s_prev),
+            r_prev=bwhere(active, r_pair, c.r_prev),
+            s_prev=bwhere(active, s_new, c.s_prev),
             # NOTE: dirstate deliberately NOT lane-masked — finished lanes'
             # iterates are frozen elsewhere, their direction is never applied,
             # and masking would cost a full pass over the history rows.
@@ -463,11 +467,9 @@ def sp_body(
             cache_valid=cache_valid,
             zbar_c=cache[0],
             vbar_c=cache[1],
-            Mrz_c=cache[2],
-            Mrv_c=cache[3],
-            rnorm_c=cache[4],
-            nMrz_c=cache[5],
-            nMrv_c=cache[6],
+            rnorm_c=cache[2],
+            nMrz_c=cache[3],
+            nMrv_c=cache[4],
         )
 
     return body

@@ -350,6 +350,7 @@ def solve(
     dinv, einv = 1.0 / d, 1.0 / e
 
     it = 0
+    converged = False
     for it in range(1, max_iter + 1):
         rhs = np.concatenate([delta * z - cs / rho, bs - s - u])
         sol = lu.solve(rhs)
@@ -375,6 +376,7 @@ def solve(
             if verbose and it % 500 == 0:
                 print(f"  admm it={it} pri={pri_rel:.2e} dua={dua_rel:.2e}")
             if pri_rel < tol and dua_rel < tol:
+                converged = True
                 break
             # adaptive rho (KKT matrix is rho-independent: free)
             if pri_rel > 10.0 * dua_rel:
@@ -398,5 +400,5 @@ def solve(
         "y": zf[oy:].reshape(n_nl, ny),
         "objective": zf[os_],
         "iterations": it,
-        "converged": it < max_iter,
+        "converged": converged,
     }

@@ -187,12 +187,14 @@ def _simulate_async_jit(
         # left; a lane that just converged with steps remaining restarts.
         # The quasi-Newton memory (r_prev/s_prev and the AA history) needs
         # NO data reset: niter=0 makes sp_body mask the stale
-        # r_prev/s_prev reads and the AA validity mask excludes history
-        # rows older than the current solve algebraically — the refilled
-        # lane behaves exactly like a standalone warm-started solve without
-        # the O(B K) zeroing passes (~1.5 GB/iteration at B=128) the
-        # explicit reset cost.  Broyden keeps its internal ring state,
-        # which must still be zeroed per lane.
+        # r_prev/s_prev reads, and the newest-first AA history's validity
+        # rule (row j usable iff j <= niter) excludes rows older than the
+        # current solve algebraically — zero Gram/gamma contributions,
+        # exactly what physically zeroed rows would give.  Because the row
+        # layout is rotation-based (no global ring phase), the refilled lane
+        # is BITWISE identical to a standalone warm-started solve, without
+        # the O(B m K) zeroing passes an explicit reset would cost.  Broyden
+        # keeps its internal ring state, which must still be zeroed per lane.
         if opts.direction == "broyden":
             def lane_reset(a):
                 m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
@@ -211,8 +213,9 @@ def _simulate_async_jit(
             eta=jnp.where(fin, jnp.inf, sp.eta),
             niter=jnp.where(fin, 0, sp.niter),
             dirstate=dirstate,
-            # a lane that advanced invalidates the batchwide sweep cache
-            cache_valid=sp.cache_valid & ~jnp.any(fin),
+            # a lane that advanced has a new x0 — its cached sweep (which
+            # pins x_root = x0 inside prox_f) no longer matches
+            cache_valid=sp.cache_valid & ~fin,
         )
         return dict(
             sp=sp,

@@ -39,17 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..problem import ProblemData, ProblemMeta
 from ..zv import Dual, Primal
 
-_ENV = os.environ.get("SPOCK_PALLAS_SWEEP")  # "1" force on, "0" force off
-
-
 def enabled() -> bool:
     """The megakernel is the production path: default-on on real hardware,
     default-off on CPU (interpret mode is for its own correctness tests, not
     for running the whole suite through an emulator).  SPOCK_PALLAS_SWEEP=0/1
-    forces."""
-    if _ENV == "1":
+    forces — read at call time, so setting it after import works."""
+    env = os.environ.get("SPOCK_PALLAS_SWEEP")
+    if env == "1":
         return True
-    if _ENV == "0":
+    if env == "0":
         return False
     # default device is the TPU chip under the axon platform; only plain CPU
     # (the float64 oracle/test environment) stays on the jnp reference path

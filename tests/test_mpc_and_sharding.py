@@ -114,17 +114,17 @@ def test_async_mpc_sharded():
 
 
 def test_async_farm_matches_standalone_warm_solves():
-    """Per-solve iteration counts in the async farm match a sequence of
-    standalone warm-started solves: lane refill fully resets the per-solve
-    solver state (r_prev/s_prev, quasi-Newton history, r_safe, eta, res0).
+    """Per-solve iteration counts in the async farm EXACTLY match a sequence
+    of standalone warm-started solves: lane refill fully resets the
+    per-solve solver state (r_prev/s_prev, quasi-Newton history, r_safe,
+    eta, res0).
 
-    Counts are compared with a tolerance, not bitwise: the AA ring slot is
-    batch-global (one in-place dynamic_update_slice instead of a ~1.5 GB/iter
-    jnp.where rewrite of the [B, m, K] histories), so a refilled lane writes
-    its reset history rows at a rotated ring phase.  The 3x3 Gram solve is
-    permutation-equivariant in exact arithmetic but not bitwise in floating
-    point, and long solve trajectories amplify that rounding into occasional
-    +-10% iteration-count differences on individual solves."""
+    Exactness holds because the AA history is newest-first rotated (row j =
+    inserted j iterations ago, valid iff j <= niter): a refilled lane sees
+    the same row layout, the same validity set, and therefore the same
+    Gram/gamma/direction — bitwise — as a standalone warm solve.  (The old
+    batch-global ring slot permuted rows for refilled lanes, which was only
+    permutation-equivalent in exact arithmetic.)"""
     from spock_tpu.algorithms import supermann as sp_alg
 
     spec, data, meta = _built()
@@ -139,6 +139,7 @@ def test_async_farm_matches_standalone_warm_solves():
     v = zero_dual(meta, (B,), x0.dtype)
     x = x0
     iters = []
+    us = []
     for t in range(T):
         res = sp_alg.run_supermann(
             data, meta, x, z, v, tol=jnp.asarray(tol), max_iter=1000
@@ -147,16 +148,18 @@ def test_async_farm_matches_standalone_warm_solves():
         iters.append(np.asarray(res.iterations))
         z, v = res.z, res.v
         u0 = res.z.u[:, :, 0]
+        us.append(np.asarray(u0))
         Aw, Bw = data.A[ws[t]], data.B[ws[t]]
         x = jnp.einsum("bxy,by->bx", Aw, x) + jnp.einsum(
             "bxu,bu->bx", Bw, u0
         )
-    got = np.asarray(res_a.iters_per_step).astype(float)
-    ref = np.stack(iters).astype(float)
-    # cold first step has no refill rotation -> exactly equal
-    np.testing.assert_array_equal(got[0], ref[0])
-    np.testing.assert_allclose(got, ref, rtol=0.25, atol=2)
-    assert abs(got.sum() - ref.sum()) <= 0.05 * ref.sum()
+    got = np.asarray(res_a.iters_per_step)
+    ref = np.stack(iters)
+    np.testing.assert_array_equal(got, ref)
+    # the applied controls are bitwise equal too
+    np.testing.assert_array_equal(
+        np.asarray(res_a.us), np.stack(us)
+    )
 
 
 def test_async_mpc_chunked_launches():
