@@ -1,0 +1,106 @@
+"""Big-tree node-sharding scaling: per-iteration wall vs device count.
+
+Runs the node-sharded solvers (CP and SuperMann, parallel/bigtree) on a
+branching-3 tree with polytopic state constraints for a fixed iteration
+budget at 1/2/4/8 mesh devices and reports the per-iteration wall — the
+scaling evidence behind BASELINE config 4 ("large single tree ...
+polytopic state constraints").
+
+Run on the virtual CPU mesh (no multi-chip hardware needed):
+
+    JAX_PLATFORMS=cpu JAX_ENABLE_X64=0 \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python examples/bigtree_scaling.py
+
+Env: SPOCK_BIGTREE_N (default 10), SPOCK_BIGTREE_ITERS (default 30).
+Writes examples/output/bigtree_scaling.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spock_tpu import build, problem
+    from spock_tpu.algorithms import supermann as sp_alg
+    from spock_tpu.models import server_heat
+    from spock_tpu.parallel import bigtree, mesh as pmesh
+
+    N = int(os.environ.get("SPOCK_BIGTREE_N", "10"))
+    iters = int(os.environ.get("SPOCK_BIGTREE_ITERS", "30"))
+    nx, d = 4, 3
+    dtype = jnp.float32
+
+    spec = server_heat.make_spec(N=N, nx=nx, d=d)
+    Gx = np.ones((1, nx))
+    poly = problem.Polytope(
+        Gx=Gx, Gu=np.zeros((1, nx)), lo=np.array([-2.0]), hi=np.array([2.0]),
+        GxN=Gx, loN=np.array([-2.0]), hiN=np.array([2.0]),
+    )
+    spec = dataclasses.replace(spec, polytope=poly)
+    data, meta = build(spec, dtype=dtype)
+    x0 = jnp.asarray([[0.3, -0.2, 0.1, 0.05][:nx]], dtype)
+    print(
+        f"tree: N={N} d={d} n={meta.tree.n} nodes, polytope rows "
+        f"nc_nl={meta.nc_nl} nc_lf={meta.nc_lf}; devices available: "
+        f"{jax.device_count()}",
+        flush=True,
+    )
+
+    rows = []
+    ndevs = [n for n in (1, 2, 4, 8) if n <= jax.device_count()]
+    for ndev in ndevs:
+        mesh = pmesh.make_mesh(ndev, axis="node")
+        for algo, runner in (
+            ("cp", lambda m: bigtree.run_cp_sharded(
+                data, meta, x0, tol=jnp.asarray(0.0, dtype),
+                max_iter=iters, mesh=m,
+            )),
+            ("spock", lambda m: bigtree.run_sp_sharded(
+                data, meta, x0, tol=jnp.asarray(0.0, dtype),
+                max_iter=iters, mesh=m,
+            )),
+        ):
+            res, (zp, vp) = runner(mesh)  # compile + run
+            jax.block_until_ready(zp)
+            t0 = time.perf_counter()
+            res, (zp, vp) = runner(mesh)
+            jax.block_until_ready(zp)
+            wall = time.perf_counter() - t0
+            per_iter = wall / iters
+            rows.append(
+                dict(ndev=ndev, algo=algo, iters=iters,
+                     wall_s=round(wall, 3),
+                     ms_per_iter=round(per_iter * 1e3, 2))
+            )
+            print(
+                f"ndev={ndev} {algo:5s}: {per_iter*1e3:8.2f} ms/iter "
+                f"({iters} iters, wall {wall:.2f}s)",
+                flush=True,
+            )
+
+    out = dict(
+        config=dict(N=N, d=d, nx=nx, n=meta.tree.n, iters=iters,
+                    dtype=str(dtype.__name__), backend=jax.default_backend()),
+        rows=rows,
+    )
+    os.makedirs(os.path.join(os.path.dirname(__file__), "output"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(__file__), "output",
+                        "bigtree_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,20 @@ def main():
     carry0 = supermann.sp_init(meta, x0, z, v)
     f_body = jax.jit(body)
 
+    # fused whole-iteration step (3 phases; time one phase)
+    opts = supermann.SuperMannOpts()
+    t_fused = None
+    if supermann.use_fused_step(data, meta, opts):
+        carryf0 = supermann.sp_init_fused(meta, x0, z, v, opts)
+        bodyf = jax.jit(
+            supermann.sp_body_fused(
+                data, meta, tol, opts, phase=0, max_iter=1_000_000
+            )
+        )
+        cf1 = bodyf(carryf0)
+        jax.block_until_ready(cf1)
+        t_fused = timeit(bodyf, cf1)
+
     slots = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
     t_sweep = timeit(f_sweep, z, v)
     t_metric = timeit(f_metric, z, v)
@@ -127,6 +141,8 @@ def main():
         f"{(t_body - 2*t_swm - t_mpair - t_aa)*1e3:8.3f} ms",
         flush=True,
     )
+    if t_fused is not None:
+        print(f"sp_body_fused:   {t_fused*1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

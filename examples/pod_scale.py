@@ -1,0 +1,156 @@
+"""Pod-scale batch proxy (BASELINE config 5): lane scaling + weak scaling.
+
+Two measurements back the "10k+ instances, >= 80% efficiency at 2+ hosts"
+target on the hardware actually available here (one v5e chip + a virtual
+CPU mesh):
+
+1. **Lane-scaling curve on the chip** — warm-started async-farm solves/s at
+   B = 1024 .. 8192 lanes on one chip, plus the per-lane HBM footprint.
+   Because per-solve state never crosses lanes, solves/s-vs-B directly
+   measures how much of the chip one instance leaves for the others.
+
+2. **Weak scaling on the virtual mesh** — fixed lanes-per-device, device
+   count 1 -> 2 -> 4 -> 8 (dp axis): the measured efficiency of exactly the
+   collective pattern a multi-host pod runs (the only cross-device traffic
+   is the all-lanes-done reduction per iteration), since multi-chip
+   hardware is not attachable here.  The multi-host protocol is documented
+   in docs/parity.md (run this script per host with jax.distributed).
+
+Chip mode (default):   PYTHONPATH=... python examples/pod_scale.py
+Mesh mode:             JAX_PLATFORMS=cpu \
+                       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+                       SPOCK_POD_MODE=mesh python examples/pod_scale.py
+
+Writes examples/output/pod_scale_{chip,mesh}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _farm_rate(data, meta, B, steps, tol, chunk, dtype, mesh=None):
+    import jax
+    import jax.numpy as jnp
+
+    from spock_tpu import mpc
+    from spock_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.6, 0.6, (B, meta.nx)), dtype)
+    ws_w = jnp.asarray(rng.integers(0, meta.tree.d, (4, B)))
+    ws_t = jnp.asarray(rng.integers(0, meta.tree.d, (steps, B)))
+    data_l = data
+    if mesh is not None:
+        data_l = pmesh.replicate(data, mesh)
+        x0 = pmesh.shard_batch(x0, mesh)
+    r1 = mpc.simulate_async(
+        data_l, meta, x0, ws_w, tol, n_steps=4, iters_per_launch=chunk
+    )
+    jax.block_until_ready(r1)
+    # timed phase from warm state
+    r2 = mpc.simulate_async(
+        data_l, meta, r1.xs, ws_t, tol, n_steps=steps, z0=r1.z, v0=r1.v,
+        iters_per_launch=chunk,
+    )
+    jax.block_until_ready(r2)
+    t0 = time.perf_counter()
+    r2 = mpc.simulate_async(
+        data_l, meta, r1.xs, ws_t, tol, n_steps=steps, z0=r1.z, v0=r1.v,
+        iters_per_launch=chunk,
+    )
+    jax.block_until_ready(r2)
+    dt = time.perf_counter() - t0
+    solves = int(np.asarray(r2.steps_done).sum())
+    return solves / dt, dt, solves
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from spock_tpu import build
+    from spock_tpu.models import server_heat
+    from spock_tpu.parallel import mesh as pmesh
+
+    mode = os.environ.get("SPOCK_POD_MODE", "chip")
+    outdir = os.path.join(os.path.dirname(__file__), "output")
+    os.makedirs(outdir, exist_ok=True)
+
+    if mode == "chip":
+        # headline problem, lane counts up to the pod-scale 8k+
+        N, nx, d = 10, 20, 2
+        dtype = jnp.float32
+        spec = server_heat.make_spec(N=N, nx=nx, d=d)
+        data, meta = build(spec, dtype=dtype)
+        tol = jnp.asarray(1e-3, dtype)
+        steps = int(os.environ.get("SPOCK_POD_STEPS", "48"))
+        rows = []
+        for B in (1024, 2048, 4096, 8192):
+            chunk = int(os.environ.get("SPOCK_POD_CHUNK", "150"))
+            rate, dt, solves = _farm_rate(
+                data, meta, B, steps, tol, chunk, dtype
+            )
+            # per-lane persistent state: (z,v) + cache + r/s_prev + 6 AA rows
+            from spock_tpu.ops import pallas_spstep
+
+            lane_mb = 10 * 4 * pallas_spstep._trio_padded(meta) / 2**20
+            rows.append(
+                dict(B=B, solves_per_s=round(rate, 1), wall_s=round(dt, 2),
+                     solves=solves, per_lane_state_MiB=round(lane_mb, 2))
+            )
+            print(rows[-1], flush=True)
+        out = dict(mode="chip", config=f"server_heat nx={nx} N={N} d={d}",
+                   device=str(jax.devices()[0]), rows=rows)
+        path = os.path.join(outdir, "pod_scale_chip.json")
+    else:
+        # weak scaling over the dp axis of the virtual mesh
+        N, nx, d = 6, 8, 2
+        dtype = jnp.float32
+        spec = server_heat.make_spec(N=N, nx=nx, d=d)
+        data, meta = build(spec, dtype=dtype)
+        tol = jnp.asarray(1e-3, dtype)
+        steps = int(os.environ.get("SPOCK_POD_STEPS", "12"))
+        lanes_per_dev = int(os.environ.get("SPOCK_POD_LANES", "16"))
+        rows = []
+        base_rate = None
+        for ndev in (1, 2, 4, 8):
+            if ndev > jax.device_count():
+                break
+            mesh = pmesh.make_mesh(ndev)
+            B = lanes_per_dev * ndev
+            rate, dt, solves = _farm_rate(
+                data, meta, B, steps, tol, 0, dtype, mesh=mesh
+            )
+            if base_rate is None:
+                base_rate = rate
+            eff = rate / (base_rate * ndev)
+            rows.append(
+                dict(ndev=ndev, B=B, solves_per_s=round(rate, 1),
+                     weak_efficiency=round(eff, 3))
+            )
+            print(rows[-1], flush=True)
+        out = dict(
+            mode="mesh", config=f"server_heat nx={nx} N={N} d={d}",
+            lanes_per_device=lanes_per_dev,
+            backend=jax.default_backend(), rows=rows,
+        )
+        path = os.path.join(outdir, "pod_scale_mesh.json")
+
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

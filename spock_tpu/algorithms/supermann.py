@@ -141,6 +141,107 @@ class _BTCarry:
     bt: Any  # scalar
 
 
+def _make_candidate(
+    data, meta, x0, z, v, dz, dv, rnorm, q_pow, opts, gamma, sigma
+):
+    """Build the one-backtracking-trial closure at per-lane step size tau.
+
+    Returns the updated acceptance state plus the candidate's sweep results
+    (the peeled tau=1 trial reuses them as the next iteration's cache).  One
+    fused launch on the megakernel path: candidate construction, sweep,
+    residual metric, <r~, M d> and every norm the K1/K2 tests consume
+    (common.candidate_sweep)."""
+
+    def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
+        (
+            wbar, ubar, Mrw, Mru, rt_sq, nMrwz, nMrwv, rho_dot,
+            nMdz, nMdv,
+        ) = candidate_sweep(
+            data, meta, z, v, dz, dv, tau, gamma, sigma, x0
+        )
+        w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, z, dz)
+        u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, v, dv)
+        rw = sub(w, wbar)
+        ru = sub(u, ubar)
+        rt_sq = jnp.maximum(rt_sq, 0.0)
+        rtilde = jnp.sqrt(rt_sq)
+        rho = rt_sq - tau * rho_dot
+
+        k1 = (rnorm <= b_r_safe) & (rtilde <= opts.c1 * rnorm) & looping
+        k2 = (rho >= opts.sigma_k2 * rnorm * rtilde) & looping & (~k1)
+        # K2 safeguarded projection step (sp.jl:204-222)
+        coef = jnp.where(
+            rt_sq > 0, rho / jnp.where(rt_sq > 0, rt_sq, 1.0), 0.0
+        )
+        coef = opts.lam_sp * coef
+        z_k2 = tmap(lambda zl, rl: zl - bexpand(coef, zl) * rl, z, rw)
+        v_k2 = tmap(lambda vl, rl: vl - bexpand(coef, vl) * rl, v, ru)
+
+        z_acc = bwhere(k1, w, bwhere(k2, z_k2, b_z_acc))
+        v_acc = bwhere(k1, u, bwhere(k2, v_k2, b_v_acc))
+        r_safe = jnp.where(k1, rtilde + q_pow, b_r_safe)
+        # Operator-free termination residuals at acceptance:
+        #   K1: dz_iter = tau*d  => xi1 = tau*||M dz||_inf/gamma
+        #   K2: dz_iter = -coef*rw => xi1 = coef*||M rw||_inf/gamma
+        # (both follow from M's definition; saves the L/L' pair the
+        # reference spends in should_terminate!, sp.jl:286-292)
+        xi1 = jnp.where(
+            k1,
+            tau * nMdz / gamma,
+            jnp.where(k2, coef * nMrwz / gamma, b_xi1),
+        )
+        xi2 = jnp.where(
+            k1,
+            tau * nMdv / sigma,
+            jnp.where(k2, coef * nMrwv / sigma, b_xi2),
+        )
+        looping_out = looping & (~k1) & (~k2)
+        return (
+            (z_acc, v_acc, r_safe, xi1, xi2, looping_out, k1),
+            (wbar, ubar, rtilde, nMrwz, nMrwv),
+        )
+
+    return candidate
+
+
+def _run_backtracks(
+    candidate, opts, looping1, z_a, v_a, r_safe_a, xi1_a, xi2_a, dtype
+):
+    """Geometric backtracking for lanes still looping after the tau=1 trial."""
+    B = looping1.shape[0]
+
+    def bt_cond(b: _BTCarry):
+        return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
+
+    def bt_body(b: _BTCarry):
+        (z_acc, v_acc, r_safe, xi1, xi2, looping, _), _unused = candidate(
+            b.tau, b.looping, b.z_acc, b.v_acc, b.r_safe, b.xi1, b.xi2
+        )
+        tau = jnp.where(looping, b.tau * opts.beta, b.tau)
+        return _BTCarry(
+            tau=tau,
+            looping=looping,
+            z_acc=z_acc,
+            v_acc=v_acc,
+            r_safe=r_safe,
+            xi1=xi1,
+            xi2=xi2,
+            bt=b.bt + 1,
+        )
+
+    bt0 = _BTCarry(
+        tau=jnp.full((B,), opts.beta, dtype),
+        looping=looping1,
+        z_acc=z_a,
+        v_acc=v_a,
+        r_safe=r_safe_a,
+        xi1=xi1_a,
+        xi2=xi2_a,
+        bt=jnp.ones((), jnp.int32),
+    )
+    return jax.lax.while_loop(bt_cond, bt_body, bt0)
+
+
 def sp_init(
     meta: ProblemMeta,
     x0,
@@ -327,61 +428,10 @@ def sp_body(
         # identical to the reference's q^iter, sp.jl:186).
         q_pow = jnp.asarray(opts.q, dtype) ** c.niter.astype(dtype)
 
-        def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
-            """One backtracking trial at per-lane step size tau; returns the
-            updated acceptance state plus the candidate's sweep results (the
-            peeled tau=1 trial reuses them as the next iteration's cache).
-
-            One fused launch on the megakernel path: candidate construction,
-            sweep, residual metric, <r~, M d> and every norm the K1/K2 tests
-            consume (common.candidate_sweep)."""
-            (
-                wbar, ubar, Mrw, Mru, rt_sq, nMrwz, nMrwv, rho_dot,
-                nMdz, nMdv,
-            ) = candidate_sweep(
-                data, meta, c.z, c.v, dz, dv, tau, gamma, sigma, x0
-            )
-            w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, c.z, dz)
-            u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, c.v, dv)
-            rw = sub(w, wbar)
-            ru = sub(u, ubar)
-            rt_sq = jnp.maximum(rt_sq, 0.0)
-            rtilde = jnp.sqrt(rt_sq)
-            rho = rt_sq - tau * rho_dot
-
-            k1 = (rnorm <= b_r_safe) & (rtilde <= opts.c1 * rnorm) & looping
-            k2 = (rho >= opts.sigma_k2 * rnorm * rtilde) & looping & (~k1)
-            # K2 safeguarded projection step (sp.jl:204-222)
-            coef = jnp.where(
-                rt_sq > 0, rho / jnp.where(rt_sq > 0, rt_sq, 1.0), 0.0
-            )
-            coef = opts.lam_sp * coef
-            z_k2 = tmap(lambda zl, rl: zl - bexpand(coef, zl) * rl, c.z, rw)
-            v_k2 = tmap(lambda vl, rl: vl - bexpand(coef, vl) * rl, c.v, ru)
-
-            z_acc = bwhere(k1, w, bwhere(k2, z_k2, b_z_acc))
-            v_acc = bwhere(k1, u, bwhere(k2, v_k2, b_v_acc))
-            r_safe = jnp.where(k1, rtilde + q_pow, b_r_safe)
-            # Operator-free termination residuals at acceptance:
-            #   K1: dz_iter = tau*d  => xi1 = tau*||M dz||_inf/gamma
-            #   K2: dz_iter = -coef*rw => xi1 = coef*||M rw||_inf/gamma
-            # (both follow from M's definition; saves the L/L' pair the
-            # reference spends in should_terminate!, sp.jl:286-292)
-            xi1 = jnp.where(
-                k1,
-                tau * nMdz / gamma,
-                jnp.where(k2, coef * nMrwz / gamma, b_xi1),
-            )
-            xi2 = jnp.where(
-                k1,
-                tau * nMdv / sigma,
-                jnp.where(k2, coef * nMrwv / sigma, b_xi2),
-            )
-            looping_out = looping & (~k1) & (~k2)
-            return (
-                (z_acc, v_acc, r_safe, xi1, xi2, looping_out, k1),
-                (wbar, ubar, rtilde, nMrwz, nMrwv),
-            )
+        candidate = _make_candidate(
+            data, meta, x0, c.z, c.v, dz, dv, rnorm, q_pow, opts, gamma,
+            sigma,
+        )
 
         # ---- peeled first trial at tau = 1 (the common accept path) ----
         looping0 = loop_init & (~c.done)
@@ -397,36 +447,10 @@ def sp_body(
             )
         )
 
-        def bt_cond(b: _BTCarry):
-            return jnp.any(b.looping) & (b.bt <= opts.max_backtracks)
-
-        def bt_body(b: _BTCarry):
-            (z_acc, v_acc, r_safe, xi1, xi2, looping, _), _unused = candidate(
-                b.tau, b.looping, b.z_acc, b.v_acc, b.r_safe, b.xi1, b.xi2
-            )
-            tau = jnp.where(looping, b.tau * opts.beta, b.tau)
-            return _BTCarry(
-                tau=tau,
-                looping=looping,
-                z_acc=z_acc,
-                v_acc=v_acc,
-                r_safe=r_safe,
-                xi1=xi1,
-                xi2=xi2,
-                bt=b.bt + 1,
-            )
-
-        bt0 = _BTCarry(
-            tau=jnp.full((B,), opts.beta, dtype),
-            looping=looping1,
-            z_acc=z_a,
-            v_acc=v_a,
-            r_safe=r_safe_a,
-            xi1=xi1_a,
-            xi2=xi2_a,
-            bt=jnp.ones((), jnp.int32),
+        bt = _run_backtracks(
+            candidate, opts, looping1, z_a, v_a, r_safe_a, xi1_a, xi2_a,
+            dtype,
         )
-        bt = jax.lax.while_loop(bt_cond, bt_body, bt0)
         z_new, v_new = bt.z_acc, bt.v_acc
 
         # ---- termination (sp.jl:270-344), from the accumulated norms ----
@@ -475,6 +499,235 @@ def sp_body(
     return body
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-iteration TPU path (ops/pallas_spstep): ONE Pallas launch per
+# tau=1 SuperMann iteration on a packed (W, Y, S) layout.
+# ---------------------------------------------------------------------------
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class SPCarryF:
+    """Carry of the fused step path.  Iterate-like state is PACKED
+    (pallas_spstep.pack_pair trios); the Anderson window is 3 row-trios in
+    phase-slot storage (the row written at iteration t lives in slot
+    t mod 3; the 3-phase loop unroll makes the slot static per call site)."""
+
+    x0: Any
+    zv: Any  # packed (z, v) trio
+    cache: Any  # packed sweep cache (prev tau=1 candidate results)
+    r_prev: Any  # packed trio
+    s_prev: Any  # packed trio
+    MR: Any  # tuple of 3 packed trios
+    MP: Any  # tuple of 3 packed trios
+    r_safe: Any  # [B]
+    res0: Any  # [B, 2]
+    done: Any  # [B]
+    niter: Any  # [B]
+    xi1: Any
+    xi2: Any
+    it: Any  # scalar
+    hist: Any
+    cache_valid: Any  # [B]
+    rnorm_c: Any  # [B]
+    nMrz_c: Any
+    nMrv_c: Any
+
+
+def root_u_carry(meta: ProblemMeta, sp):
+    """Root input u_1 from either carry flavor (farm drivers)."""
+    if isinstance(sp, SPCarryF):
+        from ..ops import pallas_spstep
+
+        return pallas_spstep.root_u(meta, sp.zv)
+    return sp.z.u[:, :, 0]
+
+
+def use_fused_step(data, meta, opts: SuperMannOpts, constrain=None) -> bool:
+    """The fused step covers the production configuration: Anderson window 3,
+    no K0, unsharded iterates, megakernel-supported problem class."""
+    from ..ops import pallas_spstep
+
+    return (
+        opts.direction == "anderson"
+        and not opts.k0
+        and opts.aa_window == 3
+        and constrain is None
+        and pallas_spstep.enabled()
+        and pallas_spstep.supported(meta, data)
+    )
+
+
+def sp_init_fused(
+    meta: ProblemMeta,
+    x0,
+    z0: Primal,
+    v0: Dual,
+    opts: SuperMannOpts = SuperMannOpts(),
+    max_iter: int = 1000,
+    record: bool = False,
+) -> SPCarryF:
+    from ..ops import pallas_spstep
+
+    B = x0.shape[0]
+    dtype = x0.dtype
+    zv = pallas_spstep.pack_pair(meta, z0, v0)
+    zt = pallas_spstep.zero_trio(meta, B, dtype)
+    return SPCarryF(
+        x0=x0,
+        zv=zv,
+        cache=zt,
+        r_prev=zt,
+        s_prev=zt,
+        MR=(zt, zt, zt),
+        MP=(zt, zt, zt),
+        r_safe=jnp.full((B,), jnp.inf, dtype),
+        res0=jnp.full((B, 2), -jnp.inf, dtype),
+        done=jnp.zeros((B,), bool),
+        niter=jnp.zeros((B,), jnp.int32),
+        xi1=jnp.full((B,), jnp.inf, dtype),
+        xi2=jnp.full((B,), jnp.inf, dtype),
+        it=jnp.zeros((), jnp.int32),
+        # +2 rows: the 3-phase unroll can overshoot max_iter by two
+        hist=jnp.zeros((max_iter + 2 if record else 0, B, 3), dtype),
+        cache_valid=jnp.zeros((B,), bool),
+        rnorm_c=jnp.zeros((B,), dtype),
+        nMrz_c=jnp.zeros((B,), dtype),
+        nMrv_c=jnp.zeros((B,), dtype),
+    )
+
+
+def sp_body_fused(
+    data: ProblemData,
+    meta: ProblemMeta,
+    tol,
+    opts: SuperMannOpts,
+    phase: int,
+    max_iter: int,
+    gamma=None,
+    sigma=None,
+    record: bool = False,
+):
+    """One fused SuperMann iteration at history phase ``phase`` (= it mod 3,
+    static).  Drive with a 3-phase unrolled loop so the aging history rows
+    pass through the carry untouched."""
+    from ..ops import pallas_spstep
+
+    if gamma is None or sigma is None:
+        step = 0.99 / jnp.sqrt(data.L_sq)
+        gamma = sigma = step
+    m = opts.aa_window
+    a1, a2 = (phase - 1) % m, (phase - 2) % m
+    interp = jax.default_backend() == "cpu"
+
+    def body(c: SPCarryF) -> SPCarryF:
+        B = c.done.shape[0]
+        dtype = c.r_safe.dtype
+        active = (~c.done) & (c.it < max_iter)
+        q_pow = jnp.asarray(opts.q, dtype) ** c.niter.astype(dtype)
+        scal_pack = jnp.stack(
+            [
+                active.astype(dtype),
+                (c.niter >= 1).astype(dtype),  # valid1 == has_prev
+                (c.niter >= 2).astype(dtype),  # valid2
+                c.cache_valid.astype(dtype),
+                c.r_safe,
+                q_pow,
+                c.rnorm_c,
+                c.nMrz_c,
+                c.nMrv_c,
+            ],
+            axis=-1,
+        )
+        z_new, w, r, s, y, p, sc = pallas_spstep.sp_step_fused(
+            data, meta, c.zv, c.cache, c.r_prev, c.s_prev,
+            c.MR[a1], c.MR[a2], c.MP[a1], c.MP[a2],
+            c.x0, scal_pack, gamma, sigma,
+            c1=float(opts.c1), sigma_k2=float(opts.sigma_k2),
+            lam=float(opts.lam), lam_sp=float(opts.lam_sp),
+            interpret=interp,
+        )
+        k1_first = sc[:, 0] > 0.5
+        looping1 = sc[:, 2] > 0.5
+        rnorm = sc[:, 3]
+
+        def no_bt(_):
+            return (z_new, s, sc[:, 5], sc[:, 6], sc[:, 7],
+                    jnp.ones((), jnp.int32))
+
+        def with_bt(_):
+            # rare path: some lane rejected the tau=1 candidate via both K1
+            # and K2 — unpack, rerun the geometric backtracking with the
+            # per-op megakernels, repack.
+            zz, vv = pallas_spstep.unpack_pair(meta, c.zv)
+            g0, g1, g2 = sc[:, 10], sc[:, 11], sc[:, 12]
+
+            def dcls(rc, pc, p1c, p2c):
+                return (
+                    -rc
+                    - g0[:, None, None] * pc
+                    - g1[:, None, None] * p1c
+                    - g2[:, None, None] * p2c
+                )
+
+            d_trio = tuple(
+                dcls(r[i], p[i], c.MP[a1][i], c.MP[a2][i]) for i in range(3)
+            )
+            dz, dv = pallas_spstep.unpack_pair(meta, d_trio)
+            z_a, v_a = pallas_spstep.unpack_pair(meta, z_new)
+            candidate = _make_candidate(
+                data, meta, c.x0, zz, vv, dz, dv, rnorm, q_pow, opts,
+                gamma, sigma,
+            )
+            bt = _run_backtracks(
+                candidate, opts, looping1, z_a, v_a, sc[:, 5], sc[:, 6],
+                sc[:, 7], dtype,
+            )
+            znf = pallas_spstep.pack_pair(meta, bt.z_acc, bt.v_acc)
+            act3 = active[:, None, None]
+            snf = tuple(
+                jnp.where(act3, znf[i] - c.zv[i], c.s_prev[i])
+                for i in range(3)
+            )
+            return znf, snf, bt.r_safe, bt.xi1, bt.xi2, bt.bt
+
+        z_fin, s_fin, r_safe_f, xi1, xi2, btc = jax.lax.cond(
+            jnp.any(looping1), with_bt, no_bt, None
+        )
+
+        conv, res0 = check_termination(xi1, xi2, c.res0, tol)
+        cache_valid = k1_first | c.done | conv
+        MR = tuple(y if j == phase else c.MR[j] for j in range(m))
+        MP = tuple(p if j == phase else c.MP[j] for j in range(m))
+        hist = c.hist
+        if record:
+            bts = jnp.broadcast_to((btc - 1).astype(dtype), xi1.shape)
+            hist = hist.at[c.it].set(jnp.stack([xi1, xi2, bts], axis=-1))
+        return SPCarryF(
+            x0=c.x0,
+            zv=z_fin,
+            cache=w,
+            r_prev=r,
+            s_prev=s_fin,
+            MR=MR,
+            MP=MP,
+            r_safe=jnp.where(active, r_safe_f, c.r_safe),
+            res0=jnp.where(active[:, None], res0, c.res0),
+            done=c.done | (conv & active),
+            niter=c.niter + active.astype(jnp.int32),
+            xi1=jnp.where(active, xi1, c.xi1),
+            xi2=jnp.where(active, xi2, c.xi2),
+            it=c.it + 1,
+            hist=hist,
+            cache_valid=cache_valid,
+            rnorm_c=sc[:, 4],  # candidate rtilde == next rnorm when cached
+            nMrz_c=sc[:, 8],
+            nMrv_c=sc[:, 9],
+        )
+
+    return body
+
+
 def run_supermann(
     data: ProblemData,
     meta: ProblemMeta,
@@ -489,6 +742,40 @@ def run_supermann(
     record: bool = False,
     constrain=None,
 ) -> SolveResult:
+    if use_fused_step(data, meta, opts, constrain):
+        from ..ops import pallas_spstep
+
+        init = sp_init_fused(
+            meta, x0, z0, v0, opts, max_iter=max_iter, record=record
+        )
+        bodies = [
+            sp_body_fused(
+                data, meta, tol, opts, phase=ph, max_iter=max_iter,
+                gamma=gamma, sigma=sigma, record=record,
+            )
+            for ph in range(3)
+        ]
+
+        def body3(c: SPCarryF) -> SPCarryF:
+            for b in bodies:
+                c = b(c)
+            return c
+
+        def condf(c: SPCarryF):
+            return (~jnp.all(c.done)) & (c.it < max_iter)
+
+        out = jax.lax.while_loop(condf, body3, init)
+        z, v = pallas_spstep.unpack_pair(meta, out.zv)
+        return SolveResult(
+            z=z,
+            v=v,
+            iterations=out.niter,
+            status=jnp.where(out.done, 0, 1).astype(jnp.int32),
+            xi1=out.xi1,
+            xi2=out.xi2,
+            residuals=out.hist if record else None,
+        )
+
     init = sp_init(meta, x0, z0, v0, opts, max_iter=max_iter, record=record)
     body = sp_body(
         data, meta, tol, opts, gamma=gamma, sigma=sigma, record=record,

@@ -126,7 +126,7 @@ jax.tree_util.register_dataclass(
 )
 
 
-@partial(jax.jit, static_argnames=("meta", "n_steps", "opts"))
+@partial(jax.jit, static_argnames=("meta", "n_steps", "opts", "fused"))
 def _simulate_async_jit(
     data: ProblemData,
     meta: ProblemMeta,
@@ -136,6 +136,7 @@ def _simulate_async_jit(
     opts: sp_alg.SuperMannOpts,
     iter_budget,
     init,
+    fused: bool = False,
 ):
     """Receding-horizon MPC where every lane advances its own chain the
     moment its solve converges — no batch-level straggler barrier.
@@ -150,7 +151,17 @@ def _simulate_async_jit(
 
     x0: [B, nx]; ws: [T, B] realization indices; n_steps: MPC steps per lane.
     """
-    body = sp_alg.sp_body(data, meta, tol, opts)
+    if fused:
+        # one fused Pallas launch per iteration; 3 history phases unrolled
+        # (the farm never hits a per-solve max_iter — budgeted globally)
+        bodies = [
+            sp_alg.sp_body_fused(
+                data, meta, tol, opts, phase=ph, max_iter=2**30
+            )
+            for ph in range(3)
+        ]
+    else:
+        bodies = [sp_alg.sp_body(data, meta, tol, opts)]
     B = init["step_idx"].shape[0]
     lane_ids = jnp.arange(B)
 
@@ -159,11 +170,11 @@ def _simulate_async_jit(
             st["total"] < iter_budget
         )
 
-    def loop(st):
+    def advance(st, body):
         sp = body(st["sp"])
         # lanes whose current solve just converged and still have steps to do
         fin = sp.done & (st["step_idx"] < n_steps)
-        u0 = sp.z.u[:, :, 0]
+        u0 = sp_alg.root_u_carry(meta, sp)
         # record
         iters_rec = st["iters_rec"].at[st["step_idx"], lane_ids].add(
             jnp.where(fin, sp.niter, 0)
@@ -195,28 +206,27 @@ def _simulate_async_jit(
         # is BITWISE identical to a standalone warm-started solve, without
         # the O(B m K) zeroing passes an explicit reset would cost.  Broyden
         # keeps its internal ring state, which must still be zeroed per lane.
-        if opts.direction == "broyden":
-            def lane_reset(a):
-                m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
-                return jnp.where(m, jnp.zeros_like(a), a)
-
-            dirstate = jax.tree_util.tree_map(lane_reset, sp.dirstate)
-        else:
-            dirstate = sp.dirstate
-
-        sp = dataclasses.replace(
-            sp,
+        repl = dict(
             x0=new_x0,
             done=sp.done & ~(fin & (step_idx < n_steps)),
             res0=jnp.where(fin[:, None], -jnp.inf, sp.res0),
             r_safe=jnp.where(fin, jnp.inf, sp.r_safe),
-            eta=jnp.where(fin, jnp.inf, sp.eta),
             niter=jnp.where(fin, 0, sp.niter),
-            dirstate=dirstate,
             # a lane that advanced has a new x0 — its cached sweep (which
             # pins x_root = x0 inside prox_f) no longer matches
             cache_valid=sp.cache_valid & ~fin,
         )
+        if not fused:
+            repl["eta"] = jnp.where(fin, jnp.inf, sp.eta)
+            if opts.direction == "broyden":
+                def lane_reset(a):
+                    m = fin.reshape(fin.shape + (1,) * (a.ndim - 1))
+                    return jnp.where(m, jnp.zeros_like(a), a)
+
+                repl["dirstate"] = jax.tree_util.tree_map(
+                    lane_reset, sp.dirstate
+                )
+        sp = dataclasses.replace(sp, **repl)
         return dict(
             sp=sp,
             step_idx=step_idx,
@@ -225,15 +235,26 @@ def _simulate_async_jit(
             total=st["total"] + 1,
         )
 
+    def loop(st):
+        for body in bodies:
+            st = advance(st, body)
+        return st
+
     out = jax.lax.while_loop(cond, loop, init)
+    if fused:
+        from .ops import pallas_spstep
+
+        z_fin, v_fin = pallas_spstep.unpack_pair(meta, out["sp"].zv)
+    else:
+        z_fin, v_fin = out["sp"].z, out["sp"].v
     res = AsyncMPCResult(
         steps_done=out["step_idx"],
         iters_per_step=out["iters_rec"],
         us=out["us_rec"],
         xs=out["sp"].x0,
         total_iterations=out["total"],
-        z=out["sp"].z,
-        v=out["sp"].v,
+        z=z_fin,
+        v=v_fin,
     )
     return res, out
 
@@ -262,12 +283,16 @@ def simulate_async(
     B = x0.shape[0]
     dtype = x0.dtype
     ws = jnp.asarray(ws)
+    fused = sp_alg.use_fused_step(data, meta, opts)
     if resume is None:
         if z0 is None:
             z0 = zero_primal(meta, (B,), dtype)
         if v0 is None:
             v0 = zero_dual(meta, (B,), dtype)
-        sp0 = sp_alg.sp_init(meta, x0, z0, v0, opts)
+        if fused:
+            sp0 = sp_alg.sp_init_fused(meta, x0, z0, v0, opts)
+        else:
+            sp0 = sp_alg.sp_init(meta, x0, z0, v0, opts)
         state = dict(
             sp=sp0,
             step_idx=jnp.zeros((B,), jnp.int32),
@@ -281,7 +306,7 @@ def simulate_async(
     if iters_per_launch <= 0:
         res, state = _simulate_async_jit(
             data, meta, ws, tol, n_steps, opts,
-            jnp.asarray(max_total_iters, jnp.int32), state,
+            jnp.asarray(max_total_iters, jnp.int32), state, fused=fused,
         )
         return res
 
@@ -291,7 +316,7 @@ def simulate_async(
             jnp.asarray(max_total_iters, jnp.int32),
         )
         res, state = _simulate_async_jit(
-            data, meta, ws, tol, n_steps, opts, budget, state
+            data, meta, ws, tol, n_steps, opts, budget, state, fused=fused
         )
         jax.block_until_ready(res.steps_done)
         if bool(

@@ -18,9 +18,12 @@ the pads never enter the math.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
+from ..algorithms import supermann as sp_alg
 from ..algorithms.common import (
     SolveResult,
     bwhere,
@@ -49,7 +52,10 @@ def pad_nodes(tree, mult: int):
 
 
 def unpad_nodes(tree_padded, template):
-    """Slice each leaf back to the template's node-axis length."""
+    """Slice each leaf back to the template's node-axis length.
+
+    ``template`` only needs ``.shape`` per leaf — pass
+    ``jax.eval_shape`` results to avoid materializing big-tree zeros."""
 
     def cut(a, t):
         return a[..., : t.shape[-1]] if a.shape[-1] != t.shape[-1] else a
@@ -145,3 +151,88 @@ def run_cp_sharded(
     # second value: the raw padded, node-sharded final iterates (callers that
     # keep working distributed — warm starts, sharding checks — use these)
     return res, (out["zp"], out["vp"])
+
+
+def run_sp_sharded(
+    data: ProblemData,
+    meta: ProblemMeta,
+    x0,
+    tol,
+    max_iter: int,
+    mesh,
+    opts: "sp_alg.SuperMannOpts" = None,
+    z0=None,
+    v0=None,
+    gamma=None,
+    sigma=None,
+) -> SolveResult:
+    """SuperMann (SPOCK) with node-sharded iterates — the headline algorithm
+    on big trees, not just plain CP.
+
+    Made possible by the structured quasi-Newton machinery: the Anderson
+    histories are (Primal, Dual)-shaped rows and every Gram/combine reduction
+    is leafwise (algorithms/anderson.direction_struct), so all quasi-Newton
+    state shards along the node axis like the iterates themselves — the old
+    flat [B, K] layout concatenated across the node axis, which would have
+    all-gathered every iteration.  The whole SPCarry (z, v, r_prev, s_prev,
+    AA rows, sweep cache) is node-padded and re-constrained each iteration,
+    exactly like :func:`run_cp_sharded`; per-lane scalars are replicated.
+    """
+    if opts is None:
+        opts = sp_alg.SuperMannOpts()
+    assert opts.direction in ("anderson", "residual"), (
+        "broyden keeps flat [B, K] state — not node-shardable"
+    )
+    L = mesh.shape["node"]
+    B = x0.shape[0]
+    dtype = x0.dtype
+    if z0 is None:
+        z0 = zero_primal(meta, (B,), dtype)
+    if v0 is None:
+        v0 = zero_dual(meta, (B,), dtype)
+    constrain = node_constrainer(mesh)
+    data_r = replicate(data, mesh)
+
+    init = sp_alg.sp_init(meta, x0, z0, v0, opts, max_iter=max_iter)
+    # shapes-only template of the unpadded carry (no big-tree zeros)
+    tmpl = jax.eval_shape(lambda c: c, init)
+    pad_fields = (
+        "z", "v", "r_prev", "s_prev", "dirstate", "zbar_c", "vbar_c",
+    )
+
+    def pad_carry(c):
+        repl = {
+            f: constrain(pad_nodes(getattr(c, f), L)) for f in pad_fields
+        }
+        return dataclasses.replace(c, **repl)
+
+    def unpad_carry(cp_):
+        repl = {
+            f: unpad_nodes(getattr(cp_, f), getattr(tmpl, f))
+            for f in pad_fields
+        }
+        return dataclasses.replace(cp_, **repl)
+
+    body_sp = sp_alg.sp_body(data_r, meta, tol, opts, gamma=gamma,
+                             sigma=sigma)
+
+    @jax.jit
+    def solve(cp0):
+        def body(cp_):
+            return pad_carry(body_sp(unpad_carry(cp_)))
+
+        def cond(cp_):
+            return (~jnp.all(cp_.done)) & (cp_.it < max_iter)
+
+        return jax.lax.while_loop(cond, body, cp0)
+
+    out = solve(pad_carry(init))
+    res = SolveResult(
+        z=unpad_nodes(out.z, tmpl.z),
+        v=unpad_nodes(out.v, tmpl.v),
+        iterations=out.niter,
+        status=jnp.where(out.done, 0, 1).astype(jnp.int32),
+        xi1=out.xi1,
+        xi2=out.xi2,
+    )
+    return res, (out.z, out.v)

@@ -88,6 +88,73 @@ def test_node_sharded_memory_is_distributed():
     assert shard_bytes <= (x.nbytes // n_dev) + 1024
 
 
+def test_node_sharded_supermann_matches_local():
+    """SuperMann (the headline algorithm) with node-sharded iterates ==
+    single-device SuperMann — possible since the quasi-Newton state is
+    structured (leafwise Gram, no node-axis concat).  Round-2 gap: only CP
+    had a node-sharded path."""
+    from spock_tpu.algorithms import supermann as sp_alg
+
+    spec = server_heat.make_spec(N=5, nx=4, d=3)
+    data, meta = build(spec, dtype=jnp.float64)
+    mesh, n_dev = _node_mesh()
+    B = 2
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+
+    res_local = Solver(data, meta, algorithm="spock").solve(x0, tol=1e-4)
+    assert bool(jnp.all(res_local.status == 0))
+    res_shard, (zp, vp) = bigtree.run_sp_sharded(
+        data, meta, x0, tol=jnp.asarray(1e-4), max_iter=1000, mesh=mesh
+    )
+    assert bool(jnp.all(res_shard.status == 0))
+    # same math, reduction order differs only through sharded partial sums
+    np.testing.assert_allclose(
+        np.asarray(res_shard.z.u), np.asarray(res_local.z.u), atol=1e-4
+    )
+    it_s = np.asarray(res_shard.iterations).astype(float)
+    it_l = np.asarray(res_local.iterations).astype(float)
+    assert np.all(np.abs(it_s - it_l) <= 0.05 * it_l + 3)
+    for leaf in jax.tree_util.tree_leaves((zp, vp)):
+        assert _is_node_sharded(leaf, n_dev), leaf.shape
+
+
+def test_big_tree_converged_solve_with_polytopes():
+    """BASELINE config 4 semantics at virtual-mesh scale: branching-3 tree
+    with two-sided polytopic state constraints, node-sharded SuperMann run
+    TO TOLERANCE (a full converged solve, not a smoke test).  N is the
+    largest that keeps the 8-virtual-CPU-device run in test budget; the
+    same path at N=15 is exercised by the gated test below and measured by
+    examples/bigtree_scaling.py."""
+    import dataclasses as dc
+
+    from spock_tpu import problem
+
+    nx = 4
+    spec = server_heat.make_spec(N=8, nx=nx, d=3)
+    Gx = np.ones((1, nx))
+    poly = problem.Polytope(
+        Gx=Gx, Gu=np.zeros((1, nx)), lo=np.array([-2.0]),
+        hi=np.array([2.0]), GxN=Gx, loN=np.array([-2.0]),
+        hiN=np.array([2.0]),
+    )
+    spec = dc.replace(spec, polytope=poly)
+    data, meta = build(spec, dtype=jnp.float64)
+    assert meta.nc_nl == 1 and meta.nc_lf == 1
+    mesh, n_dev = _node_mesh()
+    x0 = jnp.asarray([[0.3, -0.2, 0.1, 0.05]], jnp.float64)
+    res, (zp, vp) = bigtree.run_sp_sharded(
+        data, meta, x0, tol=jnp.asarray(1e-3), max_iter=400, mesh=mesh
+    )
+    assert bool(jnp.all(res.status == 0)), "did not converge to 1e-3"
+    # polytope rows hold at the solution (to solver tolerance)
+    x = np.asarray(res.z.x[0])
+    g = (Gx @ x).ravel()
+    assert np.all(g <= 2.0 + 1e-2) and np.all(g >= -2.0 - 1e-2)
+    for leaf in jax.tree_util.tree_leaves((zp, vp)):
+        assert _is_node_sharded(leaf, n_dev), leaf.shape
+
+
 @pytest.mark.skipif(
     os.environ.get("SPOCK_BIG_TESTS", "0") != "1",
     reason="multi-GB big-tree test; set SPOCK_BIG_TESTS=1",
