@@ -94,7 +94,7 @@ def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
 
 def candidate_sweep(
     data, meta, z: Primal, v: Dual, dz: Primal, dv: Dual, tau, gamma, sigma,
-    x0,
+    x0, Md=None,
 ):
     """SuperMann candidate evaluation at (w, u) = (z, v) + tau (dz, dv):
     the CP sweep at the candidate, the metric image of the candidate
@@ -104,7 +104,9 @@ def candidate_sweep(
     nMdv)`` — the first seven as :func:`cp_sweep_metric` at the candidate
     point, plus ``rho_dot = <r~, M d>`` (sp.jl:193-222's rho correction) and
     the inf-norms of M d's halves.  One Pallas launch on the megakernel
-    path; M d is never materialized there."""
+    path; M d is never materialized there.  On the fallback path ``Md`` may
+    carry a precomputed ``(Mdz, Mdv)`` — d is trial-independent, so the
+    caller hoists this L/L' pair out of the backtracking loop."""
     if pallas_sweep.enabled() and pallas_sweep.supported(meta, data):
         return pallas_sweep.candidate_sweep_fused(
             data, meta, z, v, dz, dv, tau, gamma, sigma, x0,
@@ -118,7 +120,9 @@ def candidate_sweep(
     rw, ru = sub(w, wbar), sub(u, ubar)
     Mrz, Mrv = metric_apply(data, meta, rw, ru, gamma, sigma)
     rnorm_sq = vdot(rw, Mrz, 1) + vdot(ru, Mrv, 1)
-    Mdz, Mdv = metric_apply(data, meta, dz, dv, gamma, sigma)
+    Mdz, Mdv = Md if Md is not None else metric_apply(
+        data, meta, dz, dv, gamma, sigma
+    )
     rho_dot = vdot(rw, Mdz, 1) + vdot(ru, Mdv, 1)
     return (
         wbar, ubar, Mrz, Mrv, rnorm_sq,

@@ -151,13 +151,21 @@ def _make_candidate(
     fused launch on the megakernel path: candidate construction, sweep,
     residual metric, <r~, M d> and every norm the K1/K2 tests consume
     (common.candidate_sweep)."""
+    from ..ops import pallas_sweep
+
+    # d is trial-independent: on the fallback (XLA-composed) path hoist the
+    # M d = metric_apply(dz, dv) L/L' pair out of the backtracking trials
+    # (the megakernel recomputes it in-VMEM for free).
+    Md = None
+    if not (pallas_sweep.enabled() and pallas_sweep.supported(meta, data)):
+        Md = metric_pair(data, meta, dz, dv, gamma, sigma)
 
     def candidate(tau, looping, b_z_acc, b_v_acc, b_r_safe, b_xi1, b_xi2):
         (
             wbar, ubar, Mrw, Mru, rt_sq, nMrwz, nMrwv, rho_dot,
             nMdz, nMdv,
         ) = candidate_sweep(
-            data, meta, z, v, dz, dv, tau, gamma, sigma, x0
+            data, meta, z, v, dz, dv, tau, gamma, sigma, x0, Md=Md
         )
         w = tmap(lambda zl, dl: zl + bexpand(tau, zl) * dl, z, dz)
         u = tmap(lambda vl, dl: vl + bexpand(tau, vl) * dl, v, dv)

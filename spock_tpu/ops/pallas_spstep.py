@@ -256,7 +256,11 @@ def enabled() -> bool:
 
 
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
-    """Same problem class as the sweep megakernel, plus VMEM fit."""
+    """Same problem class as the sweep megakernel minus polytopes (the
+    packed W/Y/S layout has no segments for their dual rows — polytope
+    configs run the per-op megakernels instead), plus VMEM fit."""
+    if meta.nc_nl or meta.nc_lf:
+        return False
     if not pallas_sweep.supported(meta, data):
         return False
     return _step_vmem_bytes(meta, 1) <= _STEP_VMEM_BUDGET

@@ -22,8 +22,10 @@ Mosaic-compatibility rules this kernel follows (learned on-chip):
   order (tree.py) is what makes every such transfer a contiguous slice.
 
 Requirements (falls back to the jnp path otherwise — see ``supported``):
-uniform costs/risk (broadcast node dims), polyhedral dual risk cone, no
-polytopes, and a per-lane state small enough for VMEM.
+uniform costs/risk (broadcast node dims), polyhedral dual risk cone, and a
+per-lane state small enough for VMEM.  Two-sided polytopic constraints
+(problem.Polytope) are supported: their dual rows ride as two extra lane
+blocks through every phase (L', prox_h* clip, metric, direction).
 """
 
 from __future__ import annotations
@@ -77,6 +79,10 @@ def _iterate_padded(meta: ProblemMeta) -> int:
         (1, n_nr), (nx, n_nl), (nu, n_nl), (nx, n_lf), (1, n_lf),
         (1, n_lf), (nx, n_lf),  # dual
     ]
+    if meta.nc_nl:
+        blocks.append((meta.nc_nl, n_nl))
+    if meta.nc_lf:
+        blocks.append((meta.nc_lf, n_lf))
     return sum(_padded(f, w) for f, w in blocks)
 
 
@@ -124,8 +130,6 @@ def _compiler_params():
 
 
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
-    if meta.nc_nl or meta.nc_lf:
-        return False
     if any(k not in ("zero", "nonneg", "nonpos", "reals") for k, _ in meta.dual_cone):
         return False
     # uniform (broadcast) problem data only
@@ -184,6 +188,8 @@ def _make_kernel(
     t = meta.tree
     N, d = t.N, t.d
     nx, nu, ny = meta.nx, meta.nu, meta.ny
+    nc, ncL = meta.nc_nl, meta.nc_lf
+    npb = 17 + (1 if nc else 0) + (1 if ncL else 0)  # pair blocks
     n, n_nl, ls = t.n, t.n_nonleaf, t.leaf_start
     off = [t.stage_offset(i) for i in range(N + 1)]
     msz = [t.stage_size(i) for i in range(N)]
@@ -198,17 +204,33 @@ def _make_kernel(
         Kst_ref, KstT_ref, Rti_ref, BTall_ref, PBstk_ref, ABKTall_ref,
         ABKBall_ref,
         xmin_ref, xmax_ref, umin_ref, umax_ref,
-        # per-lane state
-        x0_ref,
-        zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
-        vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
-        vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
-        # with_direction: tau then the 17 direction blocks
-        # outputs: zbar blocks then vbar blocks (then, with_metric, the
-        # metric image M r of the sweep residual r = (z - zbar, v - vbar)
-        # and the scalar reductions); trailing 12 refs are scratch
+        # then (in rest): optional polytope constants, x0, the per-lane
+        # state blocks (17 + optional vpnl/vplf); with_direction: tau then
+        # the direction blocks; outputs: zbar/vbar blocks (then, with
+        # with_metric, M r and the scalar reductions); trailing 12 refs are
+        # scratch
         *rest,
     ):
+        if nc:
+            Gx_ref, Gu_ref, GxT_ref, GuT_ref, plo_ref, phi_ref = rest[:6]
+            rest = rest[6:]
+        if ncL:
+            GxN_ref, GxNT_ref, ploN_ref, phiN_ref = rest[:4]
+            rest = rest[4:]
+        x0_ref = rest[0]
+        (
+            zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
+            vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
+            vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
+        ) = rest[1:18]
+        rest = rest[18:]
+        vpnl_ref = vplf_ref = None
+        if nc:
+            vpnl_ref = rest[0]
+            rest = rest[1:]
+        if ncL:
+            vplf_ref = rest[0]
+            rest = rest[1:]
         if with_direction:
             (
                 tau_ref,
@@ -218,6 +240,13 @@ def _make_kernel(
                 dvcxN_ref,
             ) = rest[:18]
             rest = rest[18:]
+            dpnl_ref = dplf_ref = None
+            if nc:
+                dpnl_ref = rest[0]
+                rest = rest[1:]
+            if ncL:
+                dplf_ref = rest[0]
+                rest = rest[1:]
         out_refs, (gx, gu, gq, gs, gk, gk2, gss, gtt, gqx, gru, gst, gst2) = (
             rest[:-12],
             rest[-12:],
@@ -227,6 +256,14 @@ def _make_kernel(
             ovy, ovsby, ovqx, ovru, ovt5, ovt6,
             ovcx, ovcu, ovqNx, ovs12, ovs13, ovcxN,
         ) = out_refs[:17]
+        ovpnl = ovplf = None
+        k_ = 17
+        if nc:
+            ovpnl = out_refs[k_]
+            k_ += 1
+        if ncL:
+            ovplf = out_refs[k_]
+            k_ += 1
         gamma = scal_ref[0]
         sigma = scal_ref[1]
         sqrtQ = sqrtQ_ref[:]
@@ -262,6 +299,8 @@ def _make_kernel(
                 mk(vqNx_ref, dvqNx_ref), mk(vs12_ref, dvs12_ref),
                 mk(vs13_ref, dvs13_ref), mk(vcxN_ref, dvcxN_ref),
             )
+            vpnl_ = mk(vpnl_ref, dpnl_ref) if nc else None
+            vplf_ = mk(vplf_ref, dplf_ref) if ncL else None
         else:
 
             def mk(ref):
@@ -281,6 +320,8 @@ def _make_kernel(
                 mk(vcx_ref), mk(vcu_ref), mk(vqNx_ref), mk(vs12_ref),
                 mk(vs13_ref), mk(vcxN_ref),
             )
+            vpnl_ = mk(vpnl_ref) if nc else None
+            vplf_ = mk(vplf_ref) if ncL else None
 
         # per-lane "scalar rows" stay 3D [bt, 1, n] throughout
         ztau_v = ztau_()
@@ -291,10 +332,16 @@ def _make_kernel(
         vs13_v = vs13_()
 
         # ============ z1 = z - gamma * L'(v), into (gx, gu, s', tau', y') ==
-        # x: non-leaf part
-        gx[:, :, :n_nl] = vcx_()
-        # leaf part: cxN + sqrtQN' qNx
-        gx[:, :, ls:] = vcxN_() + _mm(sqrtQNT_ref[:], vqNx_())
+        # x: non-leaf part (+ polytope rows' Gx' pnl)
+        if nc:
+            gx[:, :, :n_nl] = vcx_() + _mm(GxT_ref[:], vpnl_())
+        else:
+            gx[:, :, :n_nl] = vcx_()
+        # leaf part: cxN + sqrtQN' qNx (+ GxN' plf)
+        gx_lf = vcxN_() + _mm(sqrtQNT_ref[:], vqNx_())
+        if ncL:
+            gx_lf = gx_lf + _mm(GxNT_ref[:], vplf_())
+        gx[:, :, ls:] = gx_lf
         # stage loops: round the per-stage child-sum temps through scratch so
         # every add sees canonical (offset-0) operands.  gq/gs are free here
         # (first written by the Riccati phase below).
@@ -310,8 +357,11 @@ def _make_kernel(
             gx[:, :, off[st - 1] : off[st - 1] + m] = (
                 gx[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
-        # u
-        gu[:] = vcu_()
+        # u (+ polytope rows' Gu' pnl)
+        if nc:
+            gu[:] = vcu_() + _mm(GuT_ref[:], vpnl_())
+        else:
+            gu[:] = vcu_()
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
@@ -491,6 +541,20 @@ def _make_kernel(
         ovcu[:] = sigma * (wcu - jnp.clip(wcu, umin, umax))
         wcxN = vcxN_() * inv + rx_lf
         ovcxN[:] = sigma * (wcxN - jnp.clip(wcxN, xmin, xmax))
+        # --- polytope rows: L block Gx x + Gu u (nonleaf) / GxN x (leaf),
+        # prox = two-sided clip onto [lo, hi] (ops/prox.py:130)
+        if nc:
+            plo = plo_ref[:][None]
+            phi = phi_ref[:][None]
+            wpnl = vpnl_() * inv + _mm(Gx_ref[:], rx_nl) + _mm(
+                Gu_ref[:], ru_
+            )
+            ovpnl[:] = sigma * (wpnl - jnp.clip(wpnl, plo, phi))
+        if ncL:
+            ploN = ploN_ref[:][None]
+            phiN = phiN_ref[:][None]
+            wplf = vplf_() * inv + _mm(GxN_ref[:], rx_lf)
+            ovplf[:] = sigma * (wplf - jnp.clip(wplf, ploN, phiN))
 
         if not with_metric:
             return
@@ -505,7 +569,15 @@ def _make_kernel(
             omzx, omzu, omzs, omztau, omzy,
             omvy, omvsby, omvqx, omvru, omvt5, omvt6,
             omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
-        ) = out_refs[17:34]
+        ) = out_refs[npb : npb + 17]
+        omvpnl = omvplf = None
+        k_ = npb + 17
+        if nc:
+            omvpnl = out_refs[k_]
+            k_ += 1
+        if ncL:
+            omvplf = out_refs[k_]
+            k_ += 1
         # ---- residual blocks into (reusable) scratch / registers ----
         gx[:] = zx_() - gx[:]  # rw.x  (gx held zbar.x)
         gu[:] = zu_() - gu[:]  # rw.u
@@ -524,6 +596,8 @@ def _make_kernel(
         rucx = vcx_() - ovcx[:]
         rucu = vcu_() - ovcu[:]
         rucxN = vcxN_() - ovcxN[:]
+        rupnl = vpnl_() - ovpnl[:] if nc else None
+        ruplf = vplf_() - ovplf[:] if ncL else None
 
         # ---- M r (dual part): ru - sigma * L(rw) ----
         omvy[:] = ruy - sigma * rwy
@@ -547,12 +621,23 @@ def _make_kernel(
         omvs12[:] = rus12 - sigma * 0.5 * gss[:, :, ls:]
         omvs13[:] = rus13 - sigma * 0.5 * gss[:, :, ls:]
         omvcxN[:] = rucxN - sigma * gx[:, :, ls:]
+        if nc:
+            omvpnl[:] = rupnl - sigma * (
+                _mm(Gx_ref[:], gx[:, :, :n_nl]) + _mm(Gu_ref[:], gu[:])
+            )
+        if ncL:
+            omvplf[:] = ruplf - sigma * _mm(GxN_ref[:], gx[:, :, ls:])
 
         # ---- M r (primal part): rw - gamma * L'(ru) ----
         # accumulate L'(ru).x / .u in the output refs, then finish in place
-        omzx[:, :, :n_nl] = rucx
-        omzx[:, :, ls:] = rucxN + _mm(sqrtQNT_ref[:], ruqNx)
-        omzu[:] = rucu
+        omzx[:, :, :n_nl] = (
+            rucx + _mm(GxT_ref[:], rupnl) if nc else rucx
+        )
+        omzx_lf = rucxN + _mm(sqrtQNT_ref[:], ruqNx)
+        if ncL:
+            omzx_lf = omzx_lf + _mm(GxNT_ref[:], ruplf)
+        omzx[:, :, ls:] = omzx_lf
+        omzu[:] = rucu + _mm(GuT_ref[:], rupnl) if nc else rucu
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
@@ -599,7 +684,7 @@ def _make_kernel(
                 keepdims=True,
             )
 
-        ornsq, onmz, onmv = out_refs[34:37]
+        ornsq, onmz, onmv = out_refs[2 * npb : 2 * npb + 3]
         rnsq = (
             s3(gx[:] * omzx[:]) + s3(gu[:] * omzu[:]) + s3(gss[:] * omzs[:])
             + s3(gtt[:] * omztau[:]) + s3(rwy * omzy[:])
@@ -610,6 +695,10 @@ def _make_kernel(
             + s3(ruqNx * omvqNx[:]) + s3(rus12 * omvs12[:])
             + s3(rus13 * omvs13[:]) + s3(rucxN * omvcxN[:])
         )
+        if nc:
+            rnsq = rnsq + s3(rupnl * omvpnl[:])
+        if ncL:
+            rnsq = rnsq + s3(ruplf * omvplf[:])
         ornsq[:] = rnsq
         onmz[:] = jnp.maximum(
             jnp.maximum(
@@ -620,8 +709,9 @@ def _make_kernel(
         )
         nmv = a3(omvy[:])
         for ref in (omvsby, omvqx, omvru, omvt5, omvt6, omvcx, omvcu,
-                    omvqNx, omvs12, omvs13, omvcxN):
-            nmv = jnp.maximum(nmv, a3(ref[:]))
+                    omvqNx, omvs12, omvs13, omvcxN, omvpnl, omvplf):
+            if ref is not None:
+                nmv = jnp.maximum(nmv, a3(ref[:]))
         onmv[:] = nmv
 
         if not with_direction:
@@ -632,7 +722,7 @@ def _make_kernel(
         # sp.jl:193-222) and the inf-norms of its halves (operator-free
         # termination residuals) — reduce every block on the fly, nothing
         # goes back to HBM.
-        orho, onmdz, onmdv = out_refs[37:40]
+        orho, onmdz, onmdv = out_refs[2 * npb + 3 : 2 * npb + 6]
         dzy_v = dzy_ref[:]
         dvy_v = dvy_ref[:]
         dvsby_v = dvsby_ref[:]
@@ -690,6 +780,19 @@ def _make_kernel(
                 jnp.maximum(a3(mdvs13), a3(mdvcxN)),
             ),
         )
+        if nc:
+            mdvpnl = dpnl_ref[:] - sigma * (
+                _mm(Gx_ref[:], dzx_ref[:, :, :n_nl])
+                + _mm(Gu_ref[:], dzu_ref[:])
+            )
+            rho = rho + s3(rupnl * mdvpnl)
+            nmdv = jnp.maximum(nmdv, a3(mdvpnl))
+        if ncL:
+            mdvplf = dplf_ref[:] - sigma * _mm(
+                GxN_ref[:], dzx_ref[:, :, ls:]
+            )
+            rho = rho + s3(ruplf * mdvplf)
+            nmdv = jnp.maximum(nmdv, a3(mdvplf))
         onmdv[:] = nmdv
 
         # ---- M d (primal): dz - gamma L' dv, dotted with rw blocks ----
@@ -705,9 +808,10 @@ def _make_kernel(
         mdztau = dztau_v - gamma * 0.5 * (dvt5_v + dvt6_v)
         rho = rho + s3(gtt[:] * mdztau)
         nmdz = jnp.maximum(nmdz, a3(mdztau))
-        mdzx_lf = dzx_ref[:, :, ls:] - gamma * (
-            dvcxN_ref[:] + _mm(sqrtQNT_ref[:], dvqNx_ref[:])
-        )
+        ltd_lf = dvcxN_ref[:] + _mm(sqrtQNT_ref[:], dvqNx_ref[:])
+        if ncL:
+            ltd_lf = ltd_lf + _mm(GxNT_ref[:], dplf_ref[:])
+        mdzx_lf = dzx_ref[:, :, ls:] - gamma * ltd_lf
         rho = rho + s3(gx[:, :, ls:] * mdzx_lf)
         nmdz = jnp.maximum(nmdz, a3(mdzx_lf))
         # per-stage child sums via the (now free) gq/gs scratch
@@ -721,6 +825,8 @@ def _make_kernel(
             acc = gq[:, :, 0:m]
             for k in range(1, d):
                 acc = acc + gq[:, :, k * m : (k + 1) * m]
+            if nc:
+                acc = acc + _mm(GxT_ref[:], dpnl_ref[:, :, po : po + m])
             mdzx_st = dzx_ref[:, :, po : po + m] - gamma * (
                 dvcx_ref[:, :, po : po + m] + acc
             )
@@ -732,6 +838,8 @@ def _make_kernel(
             accu = gs[:, :, 0:m]
             for k in range(1, d):
                 accu = accu + gs[:, :, k * m : (k + 1) * m]
+            if nc:
+                accu = accu + _mm(GuT_ref[:], dpnl_ref[:, :, po : po + m])
             mdzu_st = dzu_ref[:, :, po : po + m] - gamma * (
                 dvcu_ref[:, :, po : po + m] + accu
             )
@@ -757,18 +865,47 @@ def _make_metric_kernel(meta: ProblemMeta):
     off = [t.stage_offset(i) for i in range(N + 1)]
     msz = [t.stage_size(i) for i in range(N)]
 
+    nc, ncL = meta.nc_nl, meta.nc_lf
+
     def kernel(
         scal_ref,
         sqrtQ_ref, sqrtR_ref, sqrtQN_ref, sqrtQT_ref, sqrtRT_ref,
         sqrtQNT_ref, b_ref,
-        zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
-        vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
-        vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
-        omzx, omzu, omzs, omztau, omzy,
-        omvy, omvsby, omvqx, omvru, omvt5, omvt6,
-        omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
-        gq, gs,
+        *rest,
     ):
+        if nc:
+            Gx_ref, Gu_ref, GxT_ref, GuT_ref = rest[:4]
+            rest = rest[4:]
+        if ncL:
+            GxN_ref, GxNT_ref = rest[:2]
+            rest = rest[2:]
+        (
+            zx_ref, zu_ref, zs_ref, ztau_ref, zy_ref,
+            vy_ref, vsby_ref, vqx_ref, vru_ref, vt5_ref, vt6_ref,
+            vcx_ref, vcu_ref, vqNx_ref, vs12_ref, vs13_ref, vcxN_ref,
+        ) = rest[:17]
+        rest = rest[17:]
+        vpnl_ref = vplf_ref = None
+        if nc:
+            vpnl_ref = rest[0]
+            rest = rest[1:]
+        if ncL:
+            vplf_ref = rest[0]
+            rest = rest[1:]
+        (
+            omzx, omzu, omzs, omztau, omzy,
+            omvy, omvsby, omvqx, omvru, omvt5, omvt6,
+            omvcx, omvcu, omvqNx, omvs12, omvs13, omvcxN,
+        ) = rest[:17]
+        rest = rest[17:]
+        omvpnl = omvplf = None
+        if nc:
+            omvpnl = rest[0]
+            rest = rest[1:]
+        if ncL:
+            omvplf = rest[0]
+            rest = rest[1:]
+        gq, gs = rest
         gamma = scal_ref[0]
         sigma = scal_ref[1]
         sqrtQ = sqrtQ_ref[:]
@@ -806,11 +943,27 @@ def _make_metric_kernel(meta: ProblemMeta):
         omvs12[:] = vs12 - sigma * 0.5 * zs[:, :, ls:]
         omvs13[:] = vs13 - sigma * 0.5 * zs[:, :, ls:]
         omvcxN[:] = vcxN_ref[:] - sigma * zx_ref[:, :, ls:]
+        if nc:
+            omvpnl[:] = vpnl_ref[:] - sigma * (
+                _mm(Gx_ref[:], zx_ref[:, :, :n_nl])
+                + _mm(Gu_ref[:], zu_ref[:])
+            )
+        if ncL:
+            omvplf[:] = vplf_ref[:] - sigma * _mm(
+                GxN_ref[:], zx_ref[:, :, ls:]
+            )
 
         # ---- primal part: z - gamma L' v (accumulate L'v in the outputs) ----
-        omzx[:, :, :n_nl] = vcx_ref[:]
-        omzx[:, :, ls:] = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
-        omzu[:] = vcu_ref[:]
+        omzx[:, :, :n_nl] = (
+            vcx_ref[:] + _mm(GxT_ref[:], vpnl_ref[:]) if nc else vcx_ref[:]
+        )
+        ltx_lf = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
+        if ncL:
+            ltx_lf = ltx_lf + _mm(GxNT_ref[:], vplf_ref[:])
+        omzx[:, :, ls:] = ltx_lf
+        omzu[:] = (
+            vcu_ref[:] + _mm(GuT_ref[:], vpnl_ref[:]) if nc else vcu_ref[:]
+        )
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
@@ -875,6 +1028,7 @@ def metric_apply_fused(
 
     smem = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
     sQ, sR, sQN = data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0]
+    nc, ncL = meta.nc_nl, meta.nc_lf
 
     pair_specs = [
         lane(nx, n), lane(nu, n_nl), lane(None, n), lane(None, n_nr),
@@ -902,12 +1056,30 @@ def metric_apply_fused(
         jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
     ]
+    poly_const_specs = []
+    poly_consts = []
+    poly_state = []
+    if nc:
+        pair_specs.append(lane(nc, n_nl))
+        pair_shapes.append(jax.ShapeDtypeStruct((B, nc, n_nl), dtype))
+        poly_const_specs += [
+            const((nc, nx)), const((nc, nu)), const((nx, nc)),
+            const((nu, nc)),
+        ]
+        poly_consts += [data.Gx, data.Gu, data.Gx.T, data.Gu.T]
+        poly_state.append(v.pnl)
+    if ncL:
+        pair_specs.append(lane(ncL, n_lf))
+        pair_shapes.append(jax.ShapeDtypeStruct((B, ncL, n_lf), dtype))
+        poly_const_specs += [const((ncL, nx)), const((nx, ncL))]
+        poly_consts += [data.GxN, data.GxN.T]
+        poly_state.append(v.plf)
     in_specs = [
         smem,
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
         const((ny, 1)),
-    ] + pair_specs
+    ] + poly_const_specs + pair_specs
     scratch = [
         pltpu.VMEM((bt, nx, n), dtype),  # gq
         pltpu.VMEM((bt, max(nu, 1), max(n_nl, n_lf)), dtype),  # gs
@@ -925,18 +1097,27 @@ def metric_apply_fused(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
         data.b[0][:, None],
+        *poly_consts,
         z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
         v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
         v.t6[:, None, :],
         v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
+        *poly_state,
     )
     sq = lambda a: a[:, 0, :]
+    k_ = 17
+    pnl = plf = None
+    if nc:
+        pnl = outs[k_]
+        k_ += 1
+    if ncL:
+        plf = outs[k_]
     mz = Primal(x=outs[0], u=outs[1], s=sq(outs[2]), tau=sq(outs[3]),
                 y=outs[4])
     mv = Dual(
         y=outs[5], sby=sq(outs[6]), qx=outs[7], ru=outs[8], t5=sq(outs[9]),
         t6=sq(outs[10]), cx=outs[11], cu=outs[12], qNx=outs[13],
-        s12=sq(outs[14]), s13=sq(outs[15]), cxN=outs[16], pnl=None, plf=None,
+        s12=sq(outs[14]), s13=sq(outs[15]), cxN=outs[16], pnl=pnl, plf=plf,
     )
     return mz, mv
 
@@ -1090,7 +1271,25 @@ def _sweep_impl(
         axis=2,
     )  # [N-1, d*nx, nx+nu]
 
+    nc, ncL = meta.nc_nl, meta.nc_lf
     mker = ny + 2 * t.d
+    poly_const_specs = []
+    poly_lane_specs = []
+    poly_lane_shapes = []
+    if nc:
+        poly_const_specs += [
+            const((nc, nx)), const((nc, nu)), const((nx, nc)),
+            const((nu, nc)), const((nc, 1)), const((nc, 1)),
+        ]
+        poly_lane_specs.append(lane(nc, n_nl))
+        poly_lane_shapes.append(jax.ShapeDtypeStruct((B, nc, n_nl), dtype))
+    if ncL:
+        poly_const_specs += [
+            const((ncL, nx)), const((nx, ncL)), const((ncL, 1)),
+            const((ncL, 1)),
+        ]
+        poly_lane_specs.append(lane(ncL, n_lf))
+        poly_lane_shapes.append(jax.ShapeDtypeStruct((B, ncL, n_lf), dtype))
     in_specs = [
         smem,
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
@@ -1100,12 +1299,14 @@ def _sweep_impl(
         const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
         const(ABKBall.shape),
         const((nx, 1)), const((nx, 1)), const((nu, 1)), const((nu, 1)),
+        *poly_const_specs,
         lane(nx, 1),  # x0 -> [bt, nx, 1]
         lane(nx, n), lane(nu, n_nl), lane(None, n), lane(None, n_nr),
         lane(ny, n_nl),
         lane(ny, n_nl), lane(None, n_nl), lane(nx, n_nr), lane(nu, n_nr),
         lane(None, n_nr), lane(None, n_nr), lane(nx, n_nl), lane(nu, n_nl),
         lane(nx, n_lf), lane(None, n_lf), lane(None, n_lf), lane(nx, n_lf),
+        *poly_lane_specs,
     ]
     out_specs = [
         lane(nx, n), lane(nu, n_nl), lane(None, n), lane(None, n_nr),
@@ -1113,6 +1314,7 @@ def _sweep_impl(
         lane(ny, n_nl), lane(None, n_nl), lane(nx, n_nr), lane(nu, n_nr),
         lane(None, n_nr), lane(None, n_nr), lane(nx, n_nl), lane(nu, n_nl),
         lane(nx, n_lf), lane(None, n_lf), lane(None, n_lf), lane(nx, n_lf),
+        *poly_lane_specs,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, nx, n), dtype),
@@ -1132,10 +1334,12 @@ def _sweep_impl(
         jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, 1, n_lf), dtype),
         jax.ShapeDtypeStruct((B, nx, n_lf), dtype),
+        *poly_lane_shapes,
     ]
-    pair_lane_specs = list(out_specs)  # the 17 (zbar, vbar) block specs
+    npb = len(out_specs)  # pair blocks incl. polytope rows
+    pair_lane_specs = list(out_specs)  # the npb (zbar, vbar) block specs
     if with_direction:
-        # tau [B, 1, 1] plus the 17 direction blocks after the (z, v) state
+        # tau [B, 1, 1] plus the direction blocks after the (z, v) state
         in_specs = in_specs + [lane(None, 1)] + pair_lane_specs
     if with_metric:
         # M r outputs: same block structure as (zbar, vbar); then the
@@ -1164,7 +1368,7 @@ def _sweep_impl(
         pltpu.VMEM((bt, t.d * nx, max(n_lf // t.d, 1)), dtype),  # gst2
     ]
 
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -1173,18 +1377,40 @@ def _sweep_impl(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(
+    )
+    poly_consts = []
+    poly_state = []
+    if nc:
+        poly_consts += [
+            data.Gx, data.Gu, data.Gx.T, data.Gu.T,
+            data.p_lo[:, None], data.p_hi[:, None],
+        ]
+        poly_state.append(v.pnl)
+    if ncL:
+        poly_consts += [
+            data.GxN, data.GxN.T, data.pN_lo[:, None], data.pN_hi[:, None],
+        ]
+        poly_state.append(v.plf)
+    poly_dirs = []
+    if with_direction:
+        if nc:
+            poly_dirs.append(direction[1].pnl)
+        if ncL:
+            poly_dirs.append(direction[1].plf)
+    outs = call(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
         data.b[0][:, None], data.ker_proj[0],
         Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
         data.x_min[:, None], data.x_max[:, None],
         data.u_min[:, None], data.u_max[:, None],
+        *poly_consts,
         x0[:, :, None],
         z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
         v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
         v.t6[:, None, :],
         v.cx, v.cu, v.qNx, v.s12[:, None, :], v.s13[:, None, :], v.cxN,
+        *poly_state,
         *(
             (
                 jnp.asarray(direction[2], dtype).reshape(B, 1, 1)
@@ -1199,6 +1425,7 @@ def _sweep_impl(
                 direction[1].cx, direction[1].cu, direction[1].qNx,
                 direction[1].s12[:, None, :], direction[1].s13[:, None, :],
                 direction[1].cxN,
+                *poly_dirs,
             )
             if with_direction
             else ()
@@ -1208,18 +1435,25 @@ def _sweep_impl(
 
     def unpack(o):
         zpart = Primal(x=o[0], u=o[1], s=sq(o[2]), tau=sq(o[3]), y=o[4])
+        k_ = 17
+        pnl = plf = None
+        if nc:
+            pnl = o[k_]
+            k_ += 1
+        if ncL:
+            plf = o[k_]
         vpart = Dual(
             y=o[5], sby=sq(o[6]), qx=o[7], ru=o[8], t5=sq(o[9]),
             t6=sq(o[10]), cx=o[11], cu=o[12], qNx=o[13],
-            s12=sq(o[14]), s13=sq(o[15]), cxN=o[16], pnl=None, plf=None,
+            s12=sq(o[14]), s13=sq(o[15]), cxN=o[16], pnl=pnl, plf=plf,
         )
         return zpart, vpart
 
-    zbar, vbar = unpack(outs[:17])
+    zbar, vbar = unpack(outs[:npb])
     if not with_metric:
         return zbar, vbar
-    Mrz, Mrv = unpack(outs[17:34])
-    scal = [a[:, 0, 0] for a in outs[34:]]
+    Mrz, Mrv = unpack(outs[npb : 2 * npb])
+    scal = [a[:, 0, 0] for a in outs[2 * npb :]]
     if not with_direction:
         rnsq, nmz, nmv = scal
         return zbar, vbar, Mrz, Mrv, rnsq, nmz, nmv

@@ -42,6 +42,8 @@ def rand_dual(rng, meta, batch=()):
         s12=r(t.n_leaf),
         s13=r(t.n_leaf),
         cxN=r(meta.nx, t.n_leaf),
+        pnl=r(meta.nc_nl, t.n_nonleaf) if meta.nc_nl > 0 else None,
+        plf=r(meta.nc_lf, t.n_leaf) if meta.nc_lf > 0 else None,
     )
 
 

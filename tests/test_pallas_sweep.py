@@ -194,3 +194,79 @@ def test_fused_candidate_sweep_matches_reference(which):
     np.testing.assert_allclose(
         np.asarray(nmdv), np.asarray(inf_norm(mdv_ref, 1)), rtol=1e-12
     )
+
+
+def test_fused_sweep_with_polytopes_matches_reference():
+    """Round-3 supported() widening: two-sided polytopic rows ride the
+    megakernel (L', prox clip, metric, direction reductions) and match the
+    jnp fallback path exactly."""
+    import dataclasses as dc
+    import os
+
+    from spock_tpu import problem
+    from spock_tpu.algorithms import common
+    from spock_tpu.ops.linop import metric_apply
+    from spock_tpu.zv import inf_norm, sub, vdot
+
+    nx = 4
+    spec = server_heat.make_spec(N=4, nx=nx, d=2)
+    Gx = np.array([[1.0, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, -0.3]])
+    poly = problem.Polytope(
+        Gx=Gx,
+        Gu=np.array([[0.2, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.1]]),
+        lo=np.array([-1.5, -1.0]),
+        hi=np.array([1.5, 1.0]),
+        GxN=Gx[:1],
+        loN=np.array([-1.2]),
+        hiN=np.array([1.2]),
+    )
+    spec = dc.replace(spec, polytope=poly)
+    data, meta = build(spec, dtype=jnp.float64)
+    assert meta.nc_nl == 2 and meta.nc_lf == 1
+    assert pallas_sweep.supported(meta, data)
+
+    rng = np.random.default_rng(7)
+    B = 4
+    z = rand_primal(rng, meta, batch=(B,))
+    v = rand_dual(rng, meta, batch=(B,))
+    dz = rand_primal(rng, meta, batch=(B,))
+    dv = rand_dual(rng, meta, batch=(B,))
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, nx)))
+    tau = jnp.asarray(rng.uniform(0.3, 1.0, (B,)))
+    gamma, sigma = 0.15, 0.2
+
+    # jnp fallback as oracle (the env var guards against the fused route)
+    prev = os.environ.get("SPOCK_PALLAS_SWEEP")
+    os.environ["SPOCK_PALLAS_SWEEP"] = "0"
+    try:
+        ref_m = common.cp_sweep_metric(data, meta, z, v, gamma, sigma, x0)
+        ref_c = common.candidate_sweep(
+            data, meta, z, v, dz, dv, tau, gamma, sigma, x0
+        )
+        ref_mm = metric_apply(data, meta, z, v, gamma, sigma)
+    finally:
+        if prev is None:
+            os.environ.pop("SPOCK_PALLAS_SWEEP")
+        else:
+            os.environ["SPOCK_PALLAS_SWEEP"] = prev
+
+    fus_m = pallas_sweep.cp_sweep_metric_fused(
+        data, meta, z, v, gamma, sigma, x0, interpret=True
+    )
+    fus_c = pallas_sweep.candidate_sweep_fused(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0, interpret=True
+    )
+    fus_mm = pallas_sweep.metric_apply_fused(
+        data, meta, z, v, gamma, sigma, interpret=True
+    )
+    for tag, ref, fus in [
+        ("sweep_metric", ref_m, fus_m),
+        ("candidate", ref_c, fus_c),
+        ("metric", ref_mm, fus_mm),
+    ]:
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(fus)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-9, err_msg=tag
+            )
