@@ -9,12 +9,15 @@ CPU mesh):
    Because per-solve state never crosses lanes, solves/s-vs-B directly
    measures how much of the chip one instance leaves for the others.
 
-2. **Weak scaling on the virtual mesh** — fixed lanes-per-device, device
-   count 1 -> 2 -> 4 -> 8 (dp axis): the measured efficiency of exactly the
-   collective pattern a multi-host pod runs (the only cross-device traffic
-   is the all-lanes-done reduction per iteration), since multi-chip
-   hardware is not attachable here.  The multi-host protocol is documented
-   in docs/parity.md (run this script per host with jax.distributed).
+2. **Sharding overhead on the virtual mesh** — FIXED total lanes, dp device
+   count 1 -> 2 -> 4 -> 8.  A virtual CPU mesh cannot measure weak-scaling
+   efficiency (all "devices" share the same physical cores, so efficiency
+   trivially decays as 1/ndev); what it CAN measure is the *overhead the dp
+   sharding adds* at constant total work — the only cross-device traffic is
+   the all-lanes-done reduction per iteration, so rate(ndev)/rate(1) ~ 1
+   is the evidence that the collective pattern a multi-host pod runs is
+   cheap.  The real >= 80%-at-2-hosts protocol is documented in
+   docs/parity.md (run per host with jax.distributed).
 
 Chip mode (default):   PYTHONPATH=... python examples/pod_scale.py
 Mesh mode:             JAX_PLATFORMS=cpu \
@@ -114,35 +117,35 @@ def main():
                    device=str(jax.devices()[0]), rows=rows)
         path = os.path.join(outdir, "pod_scale_chip.json")
     else:
-        # weak scaling over the dp axis of the virtual mesh
+        # dp-sharding overhead at fixed total work on the virtual mesh
         N, nx, d = 6, 8, 2
         dtype = jnp.float32
         spec = server_heat.make_spec(N=N, nx=nx, d=d)
         data, meta = build(spec, dtype=dtype)
         tol = jnp.asarray(1e-3, dtype)
         steps = int(os.environ.get("SPOCK_POD_STEPS", "12"))
-        lanes_per_dev = int(os.environ.get("SPOCK_POD_LANES", "16"))
+        B = int(os.environ.get("SPOCK_POD_LANES", "128"))
         rows = []
         base_rate = None
         for ndev in (1, 2, 4, 8):
             if ndev > jax.device_count():
                 break
             mesh = pmesh.make_mesh(ndev)
-            B = lanes_per_dev * ndev
             rate, dt, solves = _farm_rate(
                 data, meta, B, steps, tol, 0, dtype, mesh=mesh
             )
             if base_rate is None:
                 base_rate = rate
-            eff = rate / (base_rate * ndev)
             rows.append(
                 dict(ndev=ndev, B=B, solves_per_s=round(rate, 1),
-                     weak_efficiency=round(eff, 3))
+                     rate_vs_1dev=round(rate / base_rate, 3))
             )
             print(rows[-1], flush=True)
         out = dict(
             mode="mesh", config=f"server_heat nx={nx} N={N} d={d}",
-            lanes_per_device=lanes_per_dev,
+            total_lanes=B, measures="dp sharding overhead at fixed work "
+            "(virtual devices share cores; rate_vs_1dev ~ 1 = collectives "
+            "cheap)",
             backend=jax.default_backend(), rows=rows,
         )
         path = os.path.join(outdir, "pod_scale_mesh.json")
