@@ -62,61 +62,102 @@ def main():
             f"{sweep_path}"
         )
 
+    # ... and which *step* path (whole-iteration fused kernel vs per-op
+    # megakernels) the SuperMann body runs — the two dispatch independently
+    from spock_tpu.algorithms import supermann as sp_alg
+    from spock_tpu.ops import pallas_spstep
+
+    step_path = {
+        "enabled": pallas_spstep.enabled(),
+        "supported": pallas_spstep.supported(meta, data),
+        "fused": sp_alg.use_fused_step(data, meta, sp_alg.SuperMannOpts()),
+    }
+
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-0.6, 0.6, (B, meta.nx)), jnp.float32)
-    ws_warm = jnp.asarray(rng.integers(0, d, size=(warm_steps, B)))
-    ws_timed = jnp.asarray(rng.integers(0, d, size=(timed_steps, B)))
+    # ONE realization array for every phase: n_steps is dynamic in the farm,
+    # so warmup / timing / parity all reuse a single compiled program —
+    # remote TPU compiles of the farm program are the dominant risk (round 3
+    # lost its headline number to four compile timeouts).
+    ws = jnp.asarray(rng.integers(0, d, size=(timed_steps, B)))
     tol_a = jnp.asarray(tol, jnp.float32)
 
     # bounded device launches: the tunneled backend watchdogs long single
     # executions; ~200 sweep iterations/launch keeps each under ~10 s
     chunk = int(os.environ.get("SPOCK_BENCH_CHUNK", "200"))
+    # fail-fast iteration ceiling: the healthy run needs ~1-2k farm
+    # iterations total; a lane that stops converging (NaN, bad kernel)
+    # would otherwise spin to the 1e6 default for hours inside a silent
+    # timeout (round 3 lost every bench attempt this way)
+    cap = int(os.environ.get("SPOCK_BENCH_MAX_ITERS", "25000"))
 
+    import sys
+
+    def progress(msg):
+        print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    T0 = time.perf_counter()
+    progress("compiling + warmup phase (cold chains -> steady state)")
     # phase 1: cold chains -> warm steady state
     res1 = mpc.simulate_async(
-        data, meta, x0, ws_warm, tol_a, n_steps=warm_steps,
-        iters_per_launch=chunk,
+        data, meta, x0, ws, tol_a, n_steps=warm_steps,
+        iters_per_launch=chunk, max_total_iters=cap,
     )
     jax.block_until_ready(res1)
-    assert int(np.asarray(res1.steps_done).min()) == warm_steps
+    progress(
+        f"phase 1 done: steps_done min={int(np.asarray(res1.steps_done).min())}"
+        f" total_iters={int(res1.total_iterations)}"
+    )
+    assert int(np.asarray(res1.steps_done).min()) == warm_steps, (
+        "warmup did not complete within the iteration cap: "
+        f"steps_done={np.asarray(res1.steps_done)}, cap={cap} "
+        "(a lane is likely not converging)"
+    )
 
-    # phase 2: compile for its own n_steps, then time identical repeated runs
-    # (median of >= 3 repeats x 200 steps: the round-1 48-step single-shot
-    # measurement had ~18% run-to-run variance)
+    # phase 2: timed identical repeated runs (median of >= 3 repeats x 200
+    # steps: the round-1 48-step single-shot measurement had ~18%
+    # run-to-run variance).  Same compiled program as phase 1.
     res2 = mpc.simulate_async(
-        data, meta, res1.xs, ws_timed, tol_a, n_steps=timed_steps,
-        z0=res1.z, v0=res1.v, iters_per_launch=chunk,
+        data, meta, res1.xs, ws, tol_a, n_steps=timed_steps,
+        z0=res1.z, v0=res1.v, iters_per_launch=chunk, max_total_iters=cap,
     )
     jax.block_until_ready(res2)
+    progress("phase 2 warm pass done; timing")
     rates, walls = [], []
-    for _ in range(repeats):
+    for rep in range(repeats):
         t0 = time.perf_counter()
         res2 = mpc.simulate_async(
-            data, meta, res1.xs, ws_timed, tol_a, n_steps=timed_steps,
+            data, meta, res1.xs, ws, tol_a, n_steps=timed_steps,
             z0=res1.z, v0=res1.v, iters_per_launch=chunk,
+            max_total_iters=cap,
         )
         jax.block_until_ready(res2)
         dt = time.perf_counter() - t0
         walls.append(dt)
         rates.append(int(np.asarray(res2.steps_done).sum()) / dt)
+        progress(f"repeat {rep + 1}/{repeats}: {rates[-1]:.1f} solves/s")
 
     solves_per_s = float(np.median(rates))
     iters = np.asarray(res2.iters_per_step).astype(float)
 
     # float32-on-chip correctness gate: applied root controls of a fresh
     # tol=1e-3 float32 chip solve vs the float64 native oracle (tol=1e-5) at
-    # the same states (BASELINE.json: "controls match ... to 1e-4").
+    # the same states (BASELINE.json: "controls match ... to 1e-4").  The
+    # cold solves run as a 1-step farm from zero (z0, v0) — the SAME
+    # compiled program as the timed phases, not a second giant compile.
     controls_max_err = None
     n_check = int(os.environ.get("SPOCK_BENCH_PARITY_LANES", "2"))
     if n_check > 0:
         from spock_tpu.baselines.native import NativeSolver
-        from spock_tpu.solver import Solver
 
-        xs = np.asarray(res2.xs)[:n_check]
-        res_f32 = Solver(data, meta, algorithm="spock").solve(
-            jnp.asarray(xs, jnp.float32), tol=tol
+        progress("parity check (cold 1-step farm + native oracle)")
+        xs = np.asarray(res2.xs)
+        res_p = mpc.simulate_async(
+            data, meta, res2.xs, ws, tol_a, n_steps=1,
+            iters_per_launch=chunk, max_total_iters=cap,
         )
-        u0_f32 = np.asarray(res_f32.z.u)[:, :, 0]
+        u0_f32 = np.asarray(res_p.us)[0]  # [B, nu] cold root controls
         ns = NativeSolver(spec)
         errs = []
         for i in range(n_check):
@@ -148,6 +189,7 @@ def main():
                     "wall_s": round(float(np.median(walls)), 3),
                     "controls_max_err": controls_max_err,
                     "sweep_path": sweep_path,
+                    "step_path": step_path,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -57,34 +57,63 @@ def main():
     )
 
     rows = []
-    ndevs = [n for n in (1, 2, 4, 8) if n <= jax.device_count()]
+    ndevs_env = os.environ.get("SPOCK_BIGTREE_NDEVS", "1,2,4,8")
+    algos_env = os.environ.get("SPOCK_BIGTREE_ALGOS", "cp,spock").split(",")
+    ndevs = [
+        n for n in (int(s) for s in ndevs_env.split(","))
+        if n <= jax.device_count()
+    ]
     for ndev in ndevs:
         mesh = pmesh.make_mesh(ndev, axis="node")
         for algo, runner in (
-            ("cp", lambda m: bigtree.run_cp_sharded(
+            ("cp", lambda m, st: bigtree.run_cp_sharded(
                 data, meta, x0, tol=jnp.asarray(0.0, dtype),
-                max_iter=iters, mesh=m,
+                max_iter=iters, mesh=m, stats=st,
             )),
-            ("spock", lambda m: bigtree.run_sp_sharded(
+            ("spock", lambda m, st: bigtree.run_sp_sharded(
                 data, meta, x0, tol=jnp.asarray(0.0, dtype),
-                max_iter=iters, mesh=m,
+                max_iter=iters, mesh=m, stats=st,
             )),
         ):
-            res, (zp, vp) = runner(mesh)  # compile + run
+            if algo not in algos_env:
+                continue
+            # collective accounting from the compiled program: bytes moved
+            # per iteration vs the iterate footprint (the quantitative side
+            # of the sharding story — measurable on a virtual mesh even
+            # though shared-core wall times are not a speedup signal)
+            comm = {}
+            res, (zp, vp) = runner(mesh, comm)  # compile + run
             jax.block_until_ready(zp)
             t0 = time.perf_counter()
-            res, (zp, vp) = runner(mesh)
+            res, (zp, vp) = runner(mesh, None)
             jax.block_until_ready(zp)
             wall = time.perf_counter() - t0
             per_iter = wall / iters
+            iterate_bytes = sum(
+                a.size * a.dtype.itemsize
+                for a in jax.tree_util.tree_leaves((zp, vp))
+            )
             rows.append(
                 dict(ndev=ndev, algo=algo, iters=iters,
                      wall_s=round(wall, 3),
-                     ms_per_iter=round(per_iter * 1e3, 2))
+                     ms_per_iter=round(per_iter * 1e3, 2),
+                     xi1=float(np.asarray(res.xi1)[0]),
+                     xi2=float(np.asarray(res.xi2)[0]),
+                     iterate_bytes=iterate_bytes,
+                     collectives_per_iter=comm.get("count"),
+                     collective_bytes_per_iter=comm.get("bytes"),
+                     collective_frac_of_iterate=(
+                         round(comm["bytes"] / iterate_bytes, 4)
+                         if comm.get("bytes") is not None else None
+                     ),
+                     collectives_by_kind=comm.get("by_kind"))
             )
             print(
                 f"ndev={ndev} {algo:5s}: {per_iter*1e3:8.2f} ms/iter "
-                f"({iters} iters, wall {wall:.2f}s)",
+                f"({iters} iters, wall {wall:.2f}s); collectives/iter: "
+                f"{comm.get('count')} moving {comm.get('bytes', 0)/1e6:.2f} "
+                f"MB (= {comm.get('bytes', 0)/max(iterate_bytes,1):.3f}x "
+                f"iterate)",
                 flush=True,
             )
 
@@ -95,8 +124,10 @@ def main():
     )
     os.makedirs(os.path.join(os.path.dirname(__file__), "output"),
                 exist_ok=True)
-    path = os.path.join(os.path.dirname(__file__), "output",
-                        "bigtree_scaling.json")
+    path = os.path.join(
+        os.path.dirname(__file__), "output",
+        os.environ.get("SPOCK_BIGTREE_OUT", "bigtree_scaling.json"),
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)

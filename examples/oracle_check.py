@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n-instances", type=int, default=2)
     ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--json-out", default=None,
+                    help="write the full report to this path")
     args = ap.parse_args()
 
     if args.cpu:
@@ -47,13 +49,24 @@ def main():
     )
 
     from spock_tpu import build
+    from spock_tpu.algorithms import supermann as sp_alg
     from spock_tpu.baselines import admm_ref
     from spock_tpu.baselines.native import NativeSolver
     from spock_tpu.models import server_heat
+    from spock_tpu.ops import pallas_spstep, pallas_sweep
     from spock_tpu.solver import Solver
 
     spec = server_heat.make_spec(N=10, nx=20, d=2)
     data, meta = build(spec, dtype=jnp.float32)
+    paths = {
+        "device": str(jax.devices()[0]),
+        "sweep_fused": bool(
+            pallas_sweep.enabled() and pallas_sweep.supported(meta, data)
+        ),
+        "step_fused": bool(
+            sp_alg.use_fused_step(data, meta, sp_alg.SuperMannOpts())
+        ),
+    }
     rng = np.random.default_rng(0)
     K = args.n_instances
     x0 = np.asarray(rng.uniform(-0.6, 0.6, (K, meta.nx)), np.float32)
@@ -97,16 +110,28 @@ def main():
         )
         print(json.dumps(rows[-1]))
 
-    worst = max(r["u0_err_native_vs_admm"] for r in rows)
-    print(
-        json.dumps(
-            {
-                "summary": "independent-oracle agreement (native vs admm)",
-                "worst_u0_err": worst,
-                "ok": worst < 1e-4,
-            }
-        )
-    )
+    worst_oracles = max(r["u0_err_native_vs_admm"] for r in rows)
+    worst_engine = max(r["u0_err_jax_vs_native"] for r in rows)
+    summary = {
+        "summary": "oracle agreement",
+        "paths": paths,
+        # the two float64 oracles agree independently of the engine ...
+        "worst_u0_err_native_vs_admm": worst_oracles,
+        "oracles_ok": worst_oracles < 1e-4,
+        # ... AND the engine must track them: a cold float32 tol=1e-3 solve
+        # lands within 1e-3 of the float64 oracle (the CPU XLA path measures
+        # ~6e-4 on this protocol; round 3 shipped a chip path at 4.7e-3
+        # that this gate would have caught)
+        "worst_u0_err_engine_vs_native": worst_engine,
+        "engine_ok": worst_engine < 1e-3,
+    }
+    summary["ok"] = bool(summary["oracles_ok"] and summary["engine_ok"])
+    print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"instances": rows, **summary}, f, indent=1)
+    if not summary["ok"]:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

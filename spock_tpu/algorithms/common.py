@@ -45,6 +45,24 @@ def blincomb(a, x, b, y):
     )
 
 
+def _cp_sweep_xla(data, meta, z, v, gamma, sigma, x0, prox_h):
+    z1 = tmap(lambda a, b: a - gamma * b, z, apply_LT(data, meta, v))
+    zbar = prox_f(data, meta, z1, gamma, x0)
+    z_refl = lincomb(2.0, zbar, -1.0, z)
+    v1 = tmap(lambda a, b: a + sigma * b, v, apply_L(data, meta, z_refl))
+    return zbar, prox_h(v1)
+
+
+def cp_sweep_ref(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
+    """Pure-jnp CP sweep — no Pallas kernel anywhere, independent of the
+    SPOCK_PALLAS_SWEEP / device dispatch.  The oracle the megakernel parity
+    tests compare against (and callers that must pin the reference path)."""
+    return _cp_sweep_xla(
+        data, meta, z, v, gamma, sigma, x0,
+        lambda v1: prox_h_conj(data, meta, v1, sigma),
+    )
+
+
 def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
     """One Chambolle-Pock sweep: returns (zbar, vbar).
 
@@ -56,18 +74,16 @@ def cp_sweep(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
             data, meta, z, v, gamma, sigma, x0,
             interpret=jax.default_backend() == "cpu",
         )
-    z1 = tmap(lambda a, b: a - gamma * b, z, apply_LT(data, meta, v))
-    zbar = prox_f(data, meta, z1, gamma, x0)
-    z_refl = lincomb(2.0, zbar, -1.0, z)
-    v1 = tmap(lambda a, b: a + sigma * b, v, apply_L(data, meta, z_refl))
     if pallas_kernels.ENABLED and pallas_kernels.supported(meta):
-        vbar = pallas_kernels.prox_h_conj_fused(
-            data, meta, v1, sigma,
-            interpret=jax.default_backend() == "cpu",
-        )
+        def prox_h(v1):
+            return pallas_kernels.prox_h_conj_fused(
+                data, meta, v1, sigma,
+                interpret=jax.default_backend() == "cpu",
+            )
     else:
-        vbar = prox_h_conj(data, meta, v1, sigma)
-    return zbar, vbar
+        def prox_h(v1):
+            return prox_h_conj(data, meta, v1, sigma)
+    return _cp_sweep_xla(data, meta, z, v, gamma, sigma, x0, prox_h)
 
 
 def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
@@ -83,6 +99,16 @@ def cp_sweep_metric(data, meta, z: Primal, v: Dual, gamma, sigma, x0):
             interpret=jax.default_backend() == "cpu",
         )
     zbar, vbar = cp_sweep(data, meta, z, v, gamma, sigma, x0)
+    return _sweep_metric_tail(data, meta, z, v, zbar, vbar, gamma, sigma)
+
+
+def cp_sweep_metric_ref(data, meta, z, v, gamma, sigma, x0):
+    """Pure-jnp :func:`cp_sweep_metric` (see :func:`cp_sweep_ref`)."""
+    zbar, vbar = cp_sweep_ref(data, meta, z, v, gamma, sigma, x0)
+    return _sweep_metric_tail(data, meta, z, v, zbar, vbar, gamma, sigma)
+
+
+def _sweep_metric_tail(data, meta, z, v, zbar, vbar, gamma, sigma):
     rz, rv = sub(z, zbar), sub(v, vbar)
     Mrz, Mrv = metric_apply(data, meta, rz, rv, gamma, sigma)
     rnorm_sq = vdot(rz, Mrz, 1) + vdot(rv, Mrv, 1)
@@ -112,11 +138,27 @@ def candidate_sweep(
             data, meta, z, v, dz, dv, tau, gamma, sigma, x0,
             interpret=jax.default_backend() == "cpu",
         )
+    return _candidate_sweep_tail(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0, Md, cp_sweep
+    )
 
+
+def candidate_sweep_ref(
+    data, meta, z, v, dz, dv, tau, gamma, sigma, x0, Md=None
+):
+    """Pure-jnp :func:`candidate_sweep` (see :func:`cp_sweep_ref`)."""
+    return _candidate_sweep_tail(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0, Md, cp_sweep_ref
+    )
+
+
+def _candidate_sweep_tail(
+    data, meta, z, v, dz, dv, tau, gamma, sigma, x0, Md, sweep
+):
     tau = jnp.asarray(tau)
     w = tmap(lambda a, b: a + bexpand(tau, a) * b, z, dz)
     u = tmap(lambda a, b: a + bexpand(tau, a) * b, v, dv)
-    wbar, ubar = cp_sweep(data, meta, w, u, gamma, sigma, x0)
+    wbar, ubar = sweep(data, meta, w, u, gamma, sigma, x0)
     rw, ru = sub(w, wbar), sub(u, ubar)
     Mrz, Mrv = metric_apply(data, meta, rw, ru, gamma, sigma)
     rnorm_sq = vdot(rw, Mrz, 1) + vdot(ru, Mrv, 1)

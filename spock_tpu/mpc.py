@@ -126,13 +126,15 @@ jax.tree_util.register_dataclass(
 )
 
 
-@partial(jax.jit, static_argnames=("meta", "n_steps", "opts", "fused"))
+@partial(jax.jit, static_argnames=("meta", "opts", "fused"))
 def _simulate_async_jit(
     data: ProblemData,
     meta: ProblemMeta,
     ws,
     tol,
-    n_steps: int,
+    n_steps,  # DYNAMIC [] int32 — one compiled program serves any step
+    #           count <= ws.shape[0] (remote TPU compiles of this program
+    #           are the expensive thing; records are sized by ws)
     opts: sp_alg.SuperMannOpts,
     iter_budget,
     init,
@@ -283,6 +285,8 @@ def simulate_async(
     B = x0.shape[0]
     dtype = x0.dtype
     ws = jnp.asarray(ws)
+    assert n_steps <= ws.shape[0], (n_steps, ws.shape)
+    n_steps_a = jnp.asarray(n_steps, jnp.int32)
     fused = sp_alg.use_fused_step(data, meta, opts)
     if resume is None:
         if z0 is None:
@@ -296,8 +300,10 @@ def simulate_async(
         state = dict(
             sp=sp0,
             step_idx=jnp.zeros((B,), jnp.int32),
-            iters_rec=jnp.zeros((n_steps, B), jnp.int32),
-            us_rec=jnp.zeros((n_steps, B, meta.nu), dtype),
+            # records sized by ws (static), indexed up to n_steps (dynamic):
+            # one compiled program serves every phase of a bench run
+            iters_rec=jnp.zeros((ws.shape[0], B), jnp.int32),
+            us_rec=jnp.zeros((ws.shape[0], B, meta.nu), dtype),
             total=jnp.zeros((), jnp.int32),
         )
     else:
@@ -305,7 +311,7 @@ def simulate_async(
 
     if iters_per_launch <= 0:
         res, state = _simulate_async_jit(
-            data, meta, ws, tol, n_steps, opts,
+            data, meta, ws, tol, n_steps_a, opts,
             jnp.asarray(max_total_iters, jnp.int32), state, fused=fused,
         )
         return res
@@ -316,7 +322,7 @@ def simulate_async(
             jnp.asarray(max_total_iters, jnp.int32),
         )
         res, state = _simulate_async_jit(
-            data, meta, ws, tol, n_steps, opts, budget, state, fused=fused
+            data, meta, ws, tol, n_steps_a, opts, budget, state, fused=fused
         )
         jax.block_until_ready(res.steps_done)
         if bool(

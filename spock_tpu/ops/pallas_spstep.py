@@ -74,15 +74,8 @@ from . import pallas_sweep
 
 _W, _Y, _S = 0, 1, 2
 
-_W_SEGS = ("zx", "zu", "vqx", "vru", "vcx", "vcu", "vqNx", "vcxN")
 _Y_SEGS = ("zy", "vy")
 _S_SEGS = ("zs", "ztau", "vsby", "vt5", "vt6", "vs12", "vs13")
-
-_PRIMAL_SEGS = ("zx", "zu", "zs", "ztau", "zy")
-_DUAL_SEGS = (
-    "vy", "vsby", "vqx", "vru", "vt5", "vt6", "vcx", "vcu",
-    "vqNx", "vs12", "vs13", "vcxN",
-)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,10 +84,11 @@ class PackMeta:
     WW: int
     WY: int
     WS: int
+    w_segs: tuple  # W-class segment names in layout order (incl. polytopes)
     seg: dict  # name -> (class_idx, rows, lo, hi)
 
     def __hash__(self):
-        return hash((self.FW, self.WW, self.WY, self.WS))
+        return hash((self.FW, self.WW, self.WY, self.WS, self.w_segs))
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,7 +96,8 @@ def pack_meta(meta: ProblemMeta) -> PackMeta:
     t = meta.tree
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, n_nr, n_lf = t.n, t.n_nonleaf, t.n - 1, t.n_leaf
-    FW = max(nx, nu)
+    nc, ncL = meta.nc_nl, meta.nc_lf
+    FW = max(nx, nu, nc, ncL)
     seg = {}
 
     def lay(cls, entries):
@@ -112,22 +107,31 @@ def pack_meta(meta: ProblemMeta) -> PackMeta:
             o += w
         return o
 
-    WW = lay(_W, [
+    w_entries = [
         ("zx", nx, n), ("zu", nu, n_nl), ("vqx", nx, n_nr),
         ("vru", nu, n_nr), ("vcx", nx, n_nl), ("vcu", nu, n_nl),
         ("vqNx", nx, n_lf), ("vcxN", nx, n_lf),
-    ])
+    ]
+    # polytope dual rows ride the W class (same node widths as vcx/vcxN)
+    if nc:
+        w_entries.append(("vpnl", nc, n_nl))
+    if ncL:
+        w_entries.append(("vplf", ncL, n_lf))
+    WW = lay(_W, w_entries)
     WY = lay(_Y, [("zy", ny, n_nl), ("vy", ny, n_nl)])
     WS = lay(_S, [
         ("zs", 1, n), ("ztau", 1, n_nr), ("vsby", 1, n_nl),
         ("vt5", 1, n_nr), ("vt6", 1, n_nr), ("vs12", 1, n_lf),
         ("vs13", 1, n_lf),
     ])
-    return PackMeta(FW=FW, WW=WW, WY=WY, WS=WS, seg=seg)
+    return PackMeta(
+        FW=FW, WW=WW, WY=WY, WS=WS,
+        w_segs=tuple(e[0] for e in w_entries), seg=seg,
+    )
 
 
 def _pair_leaves(z: Primal, v: Dual):
-    return {
+    lv = {
         "zx": z.x, "zu": z.u, "zs": z.s[..., None, :],
         "ztau": z.tau[..., None, :], "zy": z.y,
         "vy": v.y, "vsby": v.sby[..., None, :], "vqx": v.qx, "vru": v.ru,
@@ -136,6 +140,11 @@ def _pair_leaves(z: Primal, v: Dual):
         "vs12": v.s12[..., None, :], "vs13": v.s13[..., None, :],
         "vcxN": v.cxN,
     }
+    if v.pnl is not None:
+        lv["vpnl"] = v.pnl
+    if v.plf is not None:
+        lv["vplf"] = v.plf
+    return lv
 
 
 def pack_pair(meta: ProblemMeta, z: Primal, v: Dual):
@@ -155,7 +164,7 @@ def pack_pair(meta: ProblemMeta, z: Primal, v: Dual):
         return jnp.concatenate(parts, axis=-1)
 
     return (
-        cat(_W_SEGS, pk.FW),
+        cat(pk.w_segs, pk.FW),
         cat(_Y_SEGS, meta.ny),
         cat(_S_SEGS, 1),
     )
@@ -177,7 +186,9 @@ def unpack_pair(meta: ProblemMeta, trio):
         y=get("vy"), sby=sq(get("vsby")), qx=get("vqx"), ru=get("vru"),
         t5=sq(get("vt5")), t6=sq(get("vt6")), cx=get("vcx"), cu=get("vcu"),
         qNx=get("vqNx"), s12=sq(get("vs12")), s13=sq(get("vs13")),
-        cxN=get("vcxN"), pnl=None, plf=None,
+        cxN=get("vcxN"),
+        pnl=get("vpnl") if "vpnl" in pk.seg else None,
+        plf=get("vplf") if "vplf" in pk.seg else None,
     )
     return z, v
 
@@ -256,11 +267,9 @@ def enabled() -> bool:
 
 
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
-    """Same problem class as the sweep megakernel minus polytopes (the
-    packed W/Y/S layout has no segments for their dual rows — polytope
-    configs run the per-op megakernels instead), plus VMEM fit."""
-    if meta.nc_nl or meta.nc_lf:
-        return False
+    """Same problem class as the sweep megakernel (incl. two-sided polytope
+    rows, which pack as extra W-class segments since round 4), plus VMEM
+    fit."""
     if not pallas_sweep.supported(meta, data):
         return False
     return _step_vmem_bytes(meta, 1) <= _STEP_VMEM_BUDGET
@@ -296,6 +305,7 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
     nx, nu, ny = meta.nx, meta.nu, meta.ny
     n, n_nl, ls = t.n, t.n_nonleaf, t.leaf_start
     n_nr, n_lf = t.n - 1, t.n_leaf
+    nc, ncL = meta.nc_nl, meta.nc_lf
     off = [t.stage_offset(i) for i in range(N + 1)]
     msz = [t.stage_size(i) for i in range(N)]
     seg = pk.seg
@@ -311,6 +321,9 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
         Kst_ref, KstT_ref, Rti_ref, BTall_ref, PBstk_ref, ABKTall_ref,
         ABKBall_ref,
         xmin_ref, xmax_ref, umin_ref, umax_ref,
+        # polytope constants ((1, 1) zero dummies when nc/ncL == 0)
+        pGx_ref, pGu_ref, pGxT_ref, pGuT_ref, plo_ref, phi_ref,
+        pGxN_ref, pGxNT_ref, ploN_ref, phiN_ref,
         x0_ref,  # [bt, nx, 1]
         sc_ref,  # [bt, 1, 16]
         zW, zY, zS,  # current iterate pair
@@ -382,7 +395,7 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
         def zero_pads(trio):
             # keep the pad rows of written W segments exactly zero so
             # whole-class reductions/arithmetic stay exact
-            for name in _W_SEGS:
+            for name in pk.w_segs:
                 cls, rows, lo, hi = seg[name]
                 if rows < FW:
                     trio[cls][:, rows:, lo:hi] = jnp.zeros(
@@ -395,8 +408,13 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
         # ------------------------------------------------------------------
         def sweep(rp, dst):
             # ---- z1 = z - gamma L'(v) into gx/gu/gss/gtt/y1 ----
-            gx[:, :, :n_nl] = rp("vcx")
-            gx[:, :, ls:] = rp("vcxN") + _mm(sqrtQNT_ref[:], rp("vqNx"))
+            gx[:, :, :n_nl] = (
+                rp("vcx") + _mm(pGxT_ref[:], rp("vpnl")) if nc else rp("vcx")
+            )
+            gx_lf = rp("vcxN") + _mm(sqrtQNT_ref[:], rp("vqNx"))
+            if ncL:
+                gx_lf = gx_lf + _mm(pGxNT_ref[:], rp("vplf"))
+            gx[:, :, ls:] = gx_lf
             for st in range(1, N):
                 m = msz[st - 1]
                 lo = off[st] - 1
@@ -409,7 +427,9 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                 gx[:, :, off[st - 1] : off[st - 1] + m] = (
                     gx[:, :, off[st - 1] : off[st - 1] + m] + acc
                 )
-            gu[:] = rp("vcu")
+            gu[:] = (
+                rp("vcu") + _mm(pGuT_ref[:], rp("vpnl")) if nc else rp("vcu")
+            )
             for st in range(1, N):
                 m = msz[st - 1]
                 lo = off[st] - 1
@@ -576,6 +596,20 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
             wr(dst, "vcu", sigma * (wcu - jnp.clip(wcu, umin, umax)))
             wcxN = rp("vcxN") * inv + rx_lf
             wr(dst, "vcxN", sigma * (wcxN - jnp.clip(wcxN, xmin, xmax)))
+            # polytope rows: L block Gx x + Gu u (nonleaf) / GxN x (leaf),
+            # prox = two-sided clip (cf. pallas_sweep polytope blocks)
+            if nc:
+                wpnl = rp("vpnl") * inv + _mm(pGx_ref[:], rx_nl) + _mm(
+                    pGu_ref[:], ru_
+                )
+                plo = plo_ref[:][None]
+                phi = phi_ref[:][None]
+                wr(dst, "vpnl", sigma * (wpnl - jnp.clip(wpnl, plo, phi)))
+            if ncL:
+                wplf = rp("vplf") * inv + _mm(pGxN_ref[:], rx_lf)
+                ploN = ploN_ref[:][None]
+                phiN = phiN_ref[:][None]
+                wr(dst, "vplf", sigma * (wplf - jnp.clip(wplf, ploN, phiN)))
             zero_pads(dst)
 
         # ------------------------------------------------------------------
@@ -644,11 +678,33 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                     jnp.maximum(_a3(mvs13), _a3(mvcxN)),
                 ),
             )
+            if nc:
+                mvpnl = res("vpnl") - sigma * (
+                    _mm(pGx_ref[:], res("zx", 0, n_nl))
+                    + _mm(pGu_ref[:], res("zu"))
+                )
+                rnsq = rnsq + _s3(res("vpnl") * mvpnl)
+                nmv = jnp.maximum(nmv, _a3(mvpnl))
+            if ncL:
+                mvplf = res("vplf") - sigma * _mm(
+                    pGxN_ref[:], res("zx", ls, n)
+                )
+                rnsq = rnsq + _s3(res("vplf") * mvplf)
+                nmv = jnp.maximum(nmv, _a3(mvplf))
 
             # primal part: rw - gamma L' ru (accumulate L'ru in gmx/gmu)
-            gmx[:, :, :n_nl] = res("vcx")
-            gmx[:, :, ls:] = res("vcxN") + _mm(sqrtQNT_ref[:], res("vqNx"))
-            gmu[:] = res("vcu")
+            gmx[:, :, :n_nl] = (
+                res("vcx") + _mm(pGxT_ref[:], res("vpnl"))
+                if nc else res("vcx")
+            )
+            gmx_lf = res("vcxN") + _mm(sqrtQNT_ref[:], res("vqNx"))
+            if ncL:
+                gmx_lf = gmx_lf + _mm(pGxNT_ref[:], res("vplf"))
+            gmx[:, :, ls:] = gmx_lf
+            gmu[:] = (
+                res("vcu") + _mm(pGuT_ref[:], res("vpnl"))
+                if nc else res("vcu")
+            )
             for st in range(1, N):
                 m = msz[st - 1]
                 lo = off[st] - 1
@@ -747,6 +803,19 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                     jnp.maximum(_a3(mdvs13), _a3(mdvcxN)),
                 ),
             )
+            if nc:
+                mdvpnl = dseg("vpnl") - sigma * (
+                    _mm(pGx_ref[:], dseg("zx", 0, n_nl))
+                    + _mm(pGu_ref[:], dseg("zu"))
+                )
+                rho = rho + _s3(rt_("vpnl") * mdvpnl)
+                nmdv = jnp.maximum(nmdv, _a3(mdvpnl))
+            if ncL:
+                mdvplf = dseg("vplf") - sigma * _mm(
+                    pGxN_ref[:], dseg("zx", ls, n)
+                )
+                rho = rho + _s3(rt_("vplf") * mdvplf)
+                nmdv = jnp.maximum(nmdv, _a3(mdvplf))
 
             mdzy = dzy_v - gamma * (dseg("vy") - b3 * dseg("vsby"))
             rho = rho + _s3(rt_("zy") * mdzy)
@@ -762,9 +831,10 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
             mdztau = dztau_v - gamma * 0.5 * (dseg("vt5") + dseg("vt6"))
             rho = rho + _s3(rt_("ztau") * mdztau)
             nmdz = jnp.maximum(nmdz, _a3(mdztau))
-            mdzx_lf = dseg("zx", ls, n) - gamma * (
-                dseg("vcxN") + _mm(sqrtQNT_ref[:], dseg("vqNx"))
-            )
+            ltd_lf = dseg("vcxN") + _mm(sqrtQNT_ref[:], dseg("vqNx"))
+            if ncL:
+                ltd_lf = ltd_lf + _mm(pGxNT_ref[:], dseg("vplf"))
+            mdzx_lf = dseg("zx", ls, n) - gamma * ltd_lf
             rho = rho + _s3(rt_("zx", ls, n) * mdzx_lf)
             nmdz = jnp.maximum(nmdz, _a3(mdzx_lf))
             for st in range(1, N):
@@ -777,6 +847,8 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                 acc = gq[:, :, 0:m]
                 for k in range(1, d):
                     acc = acc + gq[:, :, k * m : (k + 1) * m]
+                if nc:
+                    acc = acc + _mm(pGxT_ref[:], dseg("vpnl", po, po + m))
                 mdzx_st = dseg("zx", po, po + m) - gamma * (
                     dseg("vcx", po, po + m) + acc
                 )
@@ -788,6 +860,8 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                 accu = gs[:, :, 0:m]
                 for k in range(1, d):
                     accu = accu + gs[:, :, k * m : (k + 1) * m]
+                if nc:
+                    accu = accu + _mm(pGuT_ref[:], dseg("vpnl", po, po + m))
                 mdzu_st = dseg("zu", po, po + m) - gamma * (
                     dseg("vcu", po, po + m) + accu
                 )
@@ -1077,6 +1151,23 @@ def sp_step_fused(
     )
     mker = ny + 2 * t.d
 
+    # polytope constants ((1, 1) zero dummies when the problem has none —
+    # the kernel's nc/ncL statics gate every use)
+    nc, ncL = meta.nc_nl, meta.nc_lf
+    z11 = jnp.zeros((1, 1), dtype)
+    if nc:
+        pGx, pGu = data.Gx, data.Gu
+        pGxT, pGuT = data.Gx.T, data.Gu.T
+        plo, phi = data.p_lo[:, None], data.p_hi[:, None]
+    else:
+        pGx = pGu = pGxT = pGuT = plo = phi = z11
+    if ncL:
+        pGxN, pGxNT = data.GxN, data.GxN.T
+        ploN, phiN = data.pN_lo[:, None], data.pN_hi[:, None]
+    else:
+        pGxN = pGxNT = ploN = phiN = z11
+    poly_consts = [pGx, pGu, pGxT, pGuT, plo, phi, pGxN, pGxNT, ploN, phiN]
+
     smem2 = pl.BlockSpec((2,), lambda i, *_: (0,), memory_space=pltpu.SMEM)
 
     in_specs = (
@@ -1089,6 +1180,9 @@ def sp_step_fused(
             const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
             const(ABKBall.shape),
             const((nx, 1)), const((nx, 1)), const((nu, 1)), const((nu, 1)),
+        ]
+        + [const(a.shape) for a in poly_consts]
+        + [
             lane(nx, 1),  # x0
             lane(1, 16),  # scalar pack
         ]
@@ -1156,6 +1250,7 @@ def sp_step_fused(
         Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
         data.x_min[:, None], data.x_max[:, None],
         data.u_min[:, None], data.u_max[:, None],
+        *poly_consts,
         x0[:, :, None],
         sc16,
         *z_trio, *cache_trio, *r_prev_trio, *s_prev_trio,

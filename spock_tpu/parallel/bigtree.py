@@ -74,6 +74,7 @@ def run_cp_sharded(
     v0=None,
     gamma=None,
     sigma=None,
+    stats=None,
 ) -> SolveResult:
     """Chambolle-Pock with node-sharded iterates.  x0: [B, nx] (replicated).
 
@@ -139,6 +140,8 @@ def run_cp_sharded(
         out = jax.lax.while_loop(cond, body, init)
         return out
 
+    if stats is not None:
+        stats.update(_comm_stats(solve, x0, zp0, vp0))
     out = solve(x0, zp0, vp0)
     res = SolveResult(
         z=unpad_nodes(out["zp"], tmpl_z),
@@ -153,6 +156,16 @@ def run_cp_sharded(
     return res, (out["zp"], out["vp"])
 
 
+def _comm_stats(jitted, *args) -> dict:
+    """Collective count/bytes of the compiled sharded program (the
+    quantitative communication-volume side of the node-sharding story —
+    virtual meshes can measure program structure even without ICI)."""
+    from ..utils.profiling import hlo_collective_stats
+
+    compiled = jitted.lower(*args).compile()
+    return hlo_collective_stats(compiled.as_text())
+
+
 def run_sp_sharded(
     data: ProblemData,
     meta: ProblemMeta,
@@ -165,6 +178,7 @@ def run_sp_sharded(
     v0=None,
     gamma=None,
     sigma=None,
+    stats=None,
 ) -> SolveResult:
     """SuperMann (SPOCK) with node-sharded iterates — the headline algorithm
     on big trees, not just plain CP.
@@ -226,6 +240,8 @@ def run_sp_sharded(
 
         return jax.lax.while_loop(cond, body, cp0)
 
+    if stats is not None:
+        stats.update(_comm_stats(solve, pad_carry(init)))
     out = solve(pad_carry(init))
     res = SolveResult(
         z=unpad_nodes(out.z, tmpl.z),

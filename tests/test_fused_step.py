@@ -99,6 +99,69 @@ def test_fused_iterations_match_xla_body_exactly(monkeypatch):
         )
 
 
+def _built_poly(N=4, nx=4):
+    import dataclasses as dc
+
+    from spock_tpu import problem
+
+    spec = server_heat.make_spec(N=N, nx=nx, d=2)
+    Gx = np.array([[1.0, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, -0.3]])
+    poly = problem.Polytope(
+        Gx=Gx,
+        Gu=np.array([[0.2, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.1]]),
+        lo=np.array([-1.5, -1.0]),
+        hi=np.array([1.5, 1.0]),
+        GxN=Gx[:1],
+        loN=np.array([-1.2]),
+        hiN=np.array([1.2]),
+    )
+    spec = dc.replace(spec, polytope=poly)
+    data, meta = build(spec, dtype=jnp.float64)
+    assert meta.nc_nl == 2 and meta.nc_lf == 1
+    return spec, data, meta
+
+
+def test_fused_step_supports_polytopes_and_matches_xla(monkeypatch):
+    """Round-4 coverage closure: two-sided polytope rows pack as extra
+    W-class segments, so the fused-step and polytope features compose (the
+    round-3 gap: a polytope headline config silently fell back to per-op
+    kernels).  Same fixed-iteration exactness bar as the box-only test."""
+    _, data, meta = _built_poly()
+    assert pallas_spstep.supported(meta, data)
+    B = 4
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    opts = sp_alg.SuperMannOpts()
+    tol = jnp.asarray(1e-12)
+    z0 = zero_primal(meta, (B,), x0.dtype)
+    v0 = zero_dual(meta, (B,), x0.dtype)
+
+    n_it = 5
+    c = sp_alg.sp_init(meta, x0, z0, v0, opts)
+    body = sp_alg.sp_body(data, meta, tol, opts)
+    for _ in range(n_it):
+        c = body(c)
+
+    monkeypatch.setenv("SPOCK_FUSED_STEP", "1")
+    cf = sp_alg.sp_init_fused(meta, x0, z0, v0, opts)
+    for ph in range(n_it):
+        bodyf = sp_alg.sp_body_fused(
+            data, meta, tol, opts, phase=ph % 3, max_iter=10_000
+        )
+        cf = bodyf(cf)
+
+    zf, vf = pallas_spstep.unpack_pair(meta, cf.zv)
+    assert vf.pnl is not None and vf.plf is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves((zf, vf)),
+        jax.tree_util.tree_leaves((c.z, c.v)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-10
+        )
+    np.testing.assert_array_equal(np.asarray(cf.niter), np.asarray(c.niter))
+
+
 def test_fused_solve_matches_xla_path(monkeypatch):
     _, data, meta = _built()
     B = 4

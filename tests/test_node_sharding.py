@@ -88,71 +88,73 @@ def test_node_sharded_memory_is_distributed():
     assert shard_bytes <= (x.nbytes // n_dev) + 1024
 
 
-def test_node_sharded_supermann_matches_local():
-    """SuperMann (the headline algorithm) with node-sharded iterates ==
-    single-device SuperMann — possible since the quasi-Newton state is
-    structured (leafwise Gram, no node-axis concat).  Round-2 gap: only CP
-    had a node-sharded path."""
-    from spock_tpu.algorithms import supermann as sp_alg
+def _run_worker(mode, tmp_path):
+    """Run ``node_sharding_worker.py`` in a fresh process and load its npz.
 
-    spec = server_heat.make_spec(N=5, nx=4, d=3)
-    data, meta = build(spec, dtype=jnp.float64)
-    mesh, n_dev = _node_mesh()
-    B = 2
-    rng = np.random.default_rng(4)
-    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    Process isolation works around a deterministic XLA:CPU segfault when the
+    ``run_sp_sharded`` while-loop program is compiled into a process that has
+    already compiled much of the suite (round-3 finding; the same compile
+    succeeds in a clean process)."""
+    import subprocess
+    import sys
 
-    res_local = Solver(data, meta, algorithm="spock").solve(x0, tol=1e-4)
-    assert bool(jnp.all(res_local.status == 0))
-    res_shard, (zp, vp) = bigtree.run_sp_sharded(
-        data, meta, x0, tol=jnp.asarray(1e-4), max_iter=1000, mesh=mesh
+    out = tmp_path / f"{mode}.npz"
+    worker = os.path.join(os.path.dirname(__file__), "node_sharding_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    proc = subprocess.run(
+        [sys.executable, worker, mode, str(out)],
+        capture_output=True,
+        timeout=900,
+        env=env,
     )
-    assert bool(jnp.all(res_shard.status == 0))
-    # same math, reduction order differs only through sharded partial sums
+    assert proc.returncode == 0, proc.stderr.decode()[-3000:]
+    return np.load(out)
+
+
+def test_node_sharded_supermann_matches_local(tmp_path):
+    """SuperMann (the headline algorithm) with node-sharded iterates solves
+    the same problem as single-device SuperMann — possible since the
+    quasi-Newton state is structured (leafwise Gram, no node-axis concat).
+
+    Asserted: both converge; root controls / objective agree at the
+    solution-determinacy scale; the sharded solution satisfies the dynamics
+    to iterate accuracy; shardings survive the loop.  NOT asserted:
+    trajectory equality — SuperMann's discrete K1/K2/backtracking decisions
+    chaotically amplify reduction-order noise (measured: a 1e-13 x0
+    perturbation on the LOCAL solver alone moves iteration counts by ~30%
+    and deep-tree controls by ~0.1, and a tol=1e-4 solution is itself only
+    determined to ~7e-3 in root controls vs a tol=1e-7 one).  CP, a
+    nonexpansive smooth map, does support trajectory equality — see
+    test_node_sharded_cp_matches_local."""
+    got = _run_worker("supermann", tmp_path)
+    assert np.all(got["status"] == 0)
+    assert np.all(got["status_local"] == 0)
+    # root control and objective at the measured determinacy scale (3x slack)
     np.testing.assert_allclose(
-        np.asarray(res_shard.z.u), np.asarray(res_local.z.u), atol=1e-4
+        got["u_root"], got["u_root_local"], atol=2e-2
     )
-    it_s = np.asarray(res_shard.iterations).astype(float)
-    it_l = np.asarray(res_local.iterations).astype(float)
-    assert np.all(np.abs(it_s - it_l) <= 0.05 * it_l + 3)
-    for leaf in jax.tree_util.tree_leaves((zp, vp)):
-        assert _is_node_sharded(leaf, n_dev), leaf.shape
+    np.testing.assert_allclose(got["s1"], got["s1_local"], atol=2e-2)
+    # sharded final iterate respects the dynamics like the local one does
+    assert got["dyn_res"] <= 10 * max(float(got["dyn_res_local"]), 1e-4)
+    assert bool(got["sharded"])
 
 
-def test_big_tree_converged_solve_with_polytopes():
+def test_big_tree_converged_solve_with_polytopes(tmp_path):
     """BASELINE config 4 semantics at virtual-mesh scale: branching-3 tree
-    with two-sided polytopic state constraints, node-sharded SuperMann run
-    TO TOLERANCE (a full converged solve, not a smoke test).  N is the
-    largest that keeps the 8-virtual-CPU-device run in test budget; the
-    same path at N=15 is exercised by the gated test below and measured by
-    examples/bigtree_scaling.py."""
-    import dataclasses as dc
-
-    from spock_tpu import problem
-
-    nx = 4
-    spec = server_heat.make_spec(N=8, nx=nx, d=3)
-    Gx = np.ones((1, nx))
-    poly = problem.Polytope(
-        Gx=Gx, Gu=np.zeros((1, nx)), lo=np.array([-2.0]),
-        hi=np.array([2.0]), GxN=Gx, loN=np.array([-2.0]),
-        hiN=np.array([2.0]),
-    )
-    spec = dc.replace(spec, polytope=poly)
-    data, meta = build(spec, dtype=jnp.float64)
-    assert meta.nc_nl == 1 and meta.nc_lf == 1
-    mesh, n_dev = _node_mesh()
-    x0 = jnp.asarray([[0.3, -0.2, 0.1, 0.05]], jnp.float64)
-    res, (zp, vp) = bigtree.run_sp_sharded(
-        data, meta, x0, tol=jnp.asarray(1e-3), max_iter=400, mesh=mesh
-    )
-    assert bool(jnp.all(res.status == 0)), "did not converge to 1e-3"
-    # polytope rows hold at the solution (to solver tolerance)
-    x = np.asarray(res.z.x[0])
-    g = (Gx @ x).ravel()
+    (N=8, 9841 nodes) with two-sided polytopic state constraints,
+    node-sharded SuperMann run TO TOLERANCE (a full converged solve, not a
+    smoke test).  The same path at N=15 is exercised by the gated test
+    below and measured by examples/bigtree_scaling.py."""
+    got = _run_worker("polytope", tmp_path)
+    assert np.all(got["status"] == 0), "did not converge to 1e-3"
+    g = got["g"]
     assert np.all(g <= 2.0 + 1e-2) and np.all(g >= -2.0 - 1e-2)
-    for leaf in jax.tree_util.tree_leaves((zp, vp)):
-        assert _is_node_sharded(leaf, n_dev), leaf.shape
+    assert bool(got["sharded"])
 
 
 @pytest.mark.skipif(

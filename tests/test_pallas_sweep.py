@@ -201,7 +201,6 @@ def test_fused_sweep_with_polytopes_matches_reference():
     megakernel (L', prox clip, metric, direction reductions) and match the
     jnp fallback path exactly."""
     import dataclasses as dc
-    import os
 
     from spock_tpu import problem
     from spock_tpu.algorithms import common
@@ -235,20 +234,14 @@ def test_fused_sweep_with_polytopes_matches_reference():
     tau = jnp.asarray(rng.uniform(0.3, 1.0, (B,)))
     gamma, sigma = 0.15, 0.2
 
-    # jnp fallback as oracle (the env var guards against the fused route)
-    prev = os.environ.get("SPOCK_PALLAS_SWEEP")
-    os.environ["SPOCK_PALLAS_SWEEP"] = "0"
-    try:
-        ref_m = common.cp_sweep_metric(data, meta, z, v, gamma, sigma, x0)
-        ref_c = common.candidate_sweep(
-            data, meta, z, v, dz, dv, tau, gamma, sigma, x0
-        )
-        ref_mm = metric_apply(data, meta, z, v, gamma, sigma)
-    finally:
-        if prev is None:
-            os.environ.pop("SPOCK_PALLAS_SWEEP")
-        else:
-            os.environ["SPOCK_PALLAS_SWEEP"] = prev
+    # pure-jnp oracle path, pinned explicitly (no env-var toggling around
+    # the dispatching wrappers, which a future shape-keyed jit cache could
+    # silently defeat)
+    ref_m = common.cp_sweep_metric_ref(data, meta, z, v, gamma, sigma, x0)
+    ref_c = common.candidate_sweep_ref(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0
+    )
+    ref_mm = metric_apply(data, meta, z, v, gamma, sigma)
 
     fus_m = pallas_sweep.cp_sweep_metric_fused(
         data, meta, z, v, gamma, sigma, x0, interpret=True
