@@ -45,14 +45,15 @@ def _farm_rate(data, meta, B, steps, tol, chunk, dtype, mesh=None):
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-0.6, 0.6, (B, meta.nx)), dtype)
-    ws_w = jnp.asarray(rng.integers(0, meta.tree.d, (4, B)))
+    # one ws array for warmup AND timing: n_steps is dynamic in the farm,
+    # so each B costs exactly one device-program compile
     ws_t = jnp.asarray(rng.integers(0, meta.tree.d, (steps, B)))
     data_l = data
     if mesh is not None:
         data_l = pmesh.replicate(data, mesh)
         x0 = pmesh.shard_batch(x0, mesh)
     r1 = mpc.simulate_async(
-        data_l, meta, x0, ws_w, tol, n_steps=4, iters_per_launch=chunk
+        data_l, meta, x0, ws_t, tol, n_steps=4, iters_per_launch=chunk
     )
     jax.block_until_ready(r1)
     # timed phase from warm state

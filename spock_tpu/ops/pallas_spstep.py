@@ -503,7 +503,25 @@ def _make_step_kernel(meta, pk: PackMeta, cone_segments, c1, sigma_k2, lam,
                         :, :, lo + k * m : lo + (k + 1) * m
                     ]
                 coff += m
-            gk2[:] = _mm(ker_ref[:], gk[:])
+            kerm = ker_ref[:]
+            mk_ = ny + 2 * d
+            if kerm.shape == (mk_, mk_):
+                gk2[:] = _mm(kerm, gk[:])
+            else:
+                # per-node projectors ([mker^2, n_nl]): static multiply-add
+                # contraction over [1, n_nl] rows (see pallas_sweep
+                # s2_project)
+                for i_ in range(mk_):
+                    acc_ = (
+                        kerm[i_ * mk_ : i_ * mk_ + 1, :][None]
+                        * gk[:, 0:1, :]
+                    )
+                    for j_ in range(1, mk_):
+                        acc_ = acc_ + (
+                            kerm[i_ * mk_ + j_ : i_ * mk_ + j_ + 1, :][None]
+                            * gk[:, j_ : j_ + 1, :]
+                        )
+                    gk2[:, i_ : i_ + 1, :] = acc_
             y_p = gk2[:, :ny, :]
             wr(dst, "zs", gss[:, :, 0:1] - gamma, 0, 1)
             coff = 0
@@ -1150,6 +1168,7 @@ def sp_step_fused(
         axis=2,
     )
     mker = ny + 2 * t.d
+    b_arg, ker_arg = pallas_sweep._risk_consts(meta, data)
 
     # polytope constants ((1, 1) zero dummies when the problem has none —
     # the kernel's nc/ncL statics gate every use)
@@ -1175,7 +1194,7 @@ def sp_step_fused(
             smem2,
             const((nx, nx)), const((nu, nu)), const((nx, nx)),
             const((nx, nx)), const((nu, nu)), const((nx, nx)),
-            const((ny, 1)), const((mker, mker)),
+            const(b_arg.shape), const(ker_arg.shape),
             const(Kst.shape), const(KstT.shape), const(Rti.shape),
             const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
             const(ABKBall.shape),
@@ -1246,7 +1265,7 @@ def sp_step_fused(
         tile_all_cached,
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
-        data.b[0][:, None], data.ker_proj[0],
+        b_arg, ker_arg,
         Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
         data.x_min[:, None], data.x_max[:, None],
         data.u_min[:, None], data.u_max[:, None],

@@ -132,13 +132,33 @@ def _compiler_params():
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
     if any(k not in ("zero", "nonneg", "nonpos", "reals") for k, _ in meta.dual_cone):
         return False
-    # uniform (broadcast) problem data only
-    for arr in (data.sqrtQ, data.sqrtR, data.sqrtQN, data.E, data.F, data.b,
-                data.ker_proj):
+    # cost/dynamics data must be uniform (broadcast); RISK data (b and the
+    # S2 projectors — E/F only enter through ker_proj) may be per-node:
+    # the kernel consumes b as [ny, n_nl] and ker_proj as a [mker^2, n_nl]
+    # contraction (r4 — covers nonuniform AV@R, risk_measures.jl:127-136)
+    for arr in (data.sqrtQ, data.sqrtR, data.sqrtQN):
         if arr.shape[0] != 1:
             return False
+    if data.b.shape[0] not in (1, meta.tree.n_nonleaf):
+        return False
+    if data.ker_proj.shape[0] != data.b.shape[0]:
+        return False
     # worst case: the candidate kernel (2 input iterates, 2 output iterates)
     return _vmem_bytes(meta, 1, 2, 2) <= _VMEM_BUDGET
+
+
+def _risk_consts(meta: ProblemMeta, data: ProblemData):
+    """(b_arg, ker_arg) in kernel layout: [ny, 1] / [mker, mker] when the
+    risk is uniform, [ny, n_nl] / [mker*mker, n_nl] when per-node (the
+    kernel branches statically on these shapes)."""
+    mker = meta.ny + 2 * meta.tree.d
+    if data.b.shape[0] == 1:
+        return data.b[0][:, None], data.ker_proj[0]
+    n_nl = meta.tree.n_nonleaf
+    return (
+        data.b.T,
+        data.ker_proj.transpose(1, 2, 0).reshape(mker * mker, n_nl),
+    )
 
 
 def _mm(M, X):
@@ -148,7 +168,10 @@ def _mm(M, X):
     (an unsupported shape cast for small unaligned n), so the batch loop is
     unrolled into clean 2D matmuls instead."""
     outs = [
-        jnp.dot(M, X[i], preferred_element_type=X.dtype)
+        jnp.dot(
+            M, X[i], preferred_element_type=X.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         for i in range(X.shape[0])
     ]
     return jnp.stack(outs, axis=0)
@@ -193,6 +216,7 @@ def _make_kernel(
     n, n_nl, ls = t.n, t.n_nonleaf, t.leaf_start
     off = [t.stage_offset(i) for i in range(N + 1)]
     msz = [t.stage_size(i) for i in range(N)]
+    mker = ny + 2 * d
 
     def kernel(
         # scalars
@@ -269,8 +293,29 @@ def _make_kernel(
         sqrtQ = sqrtQ_ref[:]
         sqrtR = sqrtR_ref[:]
         sqrtQN = sqrtQN_ref[:]
-        b3 = b_ref[:][None]  # [ny, 1] -> [1, ny, 1] (leading expand is free)
+        # b is [ny, 1] (uniform) or [ny, n_nl] (per-node risk) — every use
+        # broadcasts against [bt, ny, n_nl], so both shapes just work
+        b3 = b_ref[:][None]
         ker = ker_ref[:]
+
+        def s2_project(gk_all, dst):
+            """Apply the kernel projector(s) into dst: one MXU dot when
+            uniform, a static mker^2 multiply-add contraction over [1, n_nl]
+            rows when per-node ([mker*mker, n_nl] layout, kp[i*mker+j, c] =
+            ker_proj[c, i, j]) — per-node mker x mker matmuls don't map to
+            a single 2D dot, but the contraction is pure VPU work (row
+            writes, no register concat)."""
+            if ker.shape == (mker, mker):
+                dst[:] = _mm(ker, gk_all)
+                return
+            for i in range(mker):
+                acc = ker[i * mker : i * mker + 1, :][None] * gk_all[:, 0:1, :]
+                for j in range(1, mker):
+                    acc = acc + (
+                        ker[i * mker + j : i * mker + j + 1, :][None]
+                        * gk_all[:, j : j + 1, :]
+                    )
+                dst[:, i : i + 1, :] = acc
 
         # candidate-point accessors: every z/v read is (z + tau d) when the
         # kernel evaluates a SuperMann candidate, the plain ref otherwise
@@ -439,7 +484,7 @@ def _make_kernel(
                     :, :, lo + k * m : lo + (k + 1) * m
                 ]
             coff += m
-        gk2[:] = _mm(ker, gk[:])
+        s2_project(gk[:], gk2)
         # scatter back: y_p from rows [0, ny); s/tau from child rows
         y_p = gk2[:, :ny, :]
         # s_root: shifted by -gamma (linear objective), not S2-projected
@@ -1074,11 +1119,12 @@ def metric_apply_fused(
         poly_const_specs += [const((ncL, nx)), const((nx, ncL))]
         poly_consts += [data.GxN, data.GxN.T]
         poly_state.append(v.plf)
+    b_arg, _ = _risk_consts(meta, data)
     in_specs = [
         smem,
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
-        const((ny, 1)),
+        const(b_arg.shape),
     ] + poly_const_specs + pair_specs
     scratch = [
         pltpu.VMEM((bt, nx, n), dtype),  # gq
@@ -1096,7 +1142,7 @@ def metric_apply_fused(
     )(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
-        data.b[0][:, None],
+        b_arg,
         *poly_consts,
         z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
         v.y, v.sby[:, None, :], v.qx, v.ru, v.t5[:, None, :],
@@ -1290,11 +1336,12 @@ def _sweep_impl(
         ]
         poly_lane_specs.append(lane(ncL, n_lf))
         poly_lane_shapes.append(jax.ShapeDtypeStruct((B, ncL, n_lf), dtype))
+    b_arg, ker_arg = _risk_consts(meta, data)
     in_specs = [
         smem,
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
         const((nx, nx)), const((nu, nu)), const((nx, nx)),
-        const((ny, 1)), const((mker, mker)),
+        const(b_arg.shape), const(ker_arg.shape),
         const(Kst.shape), const(KstT.shape), const(Rti.shape),
         const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
         const(ABKBall.shape),
@@ -1400,7 +1447,7 @@ def _sweep_impl(
     outs = call(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
         sQ, sR, sQN, sQ.T, sR.T, sQN.T,
-        data.b[0][:, None], data.ker_proj[0],
+        b_arg, ker_arg,
         Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
         data.x_min[:, None], data.x_max[:, None],
         data.u_min[:, None], data.u_max[:, None],

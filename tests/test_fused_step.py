@@ -162,6 +162,55 @@ def test_fused_step_supports_polytopes_and_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(cf.niter), np.asarray(c.niter))
 
 
+def test_fused_step_supports_nonuniform_risk_and_matches_xla(monkeypatch):
+    """Per-node risk data on the fused-step kernel (same closure as the
+    sweep megakernel's nonuniform support)."""
+    import dataclasses as dc
+
+    from spock_tpu import risks
+
+    spec = server_heat.make_spec(N=4, nx=4, d=2)
+    _, meta0 = build(spec, dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    n_nl = meta0.tree.n_nonleaf
+    ps = rng.dirichlet(np.ones(2), size=n_nl)
+    alphas = rng.uniform(0.7, 0.99, n_nl)
+    spec = dc.replace(spec, risk=risks.avar_nonuniform(ps, alphas))
+    data, meta = build(spec, dtype=jnp.float64)
+    assert data.b.shape[0] == n_nl
+    assert pallas_spstep.supported(meta, data)
+
+    B = 3
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    opts = sp_alg.SuperMannOpts()
+    tol = jnp.asarray(1e-12)
+    z0 = zero_primal(meta, (B,), x0.dtype)
+    v0 = zero_dual(meta, (B,), x0.dtype)
+
+    n_it = 4
+    c = sp_alg.sp_init(meta, x0, z0, v0, opts)
+    body = sp_alg.sp_body(data, meta, tol, opts)
+    for _ in range(n_it):
+        c = body(c)
+
+    monkeypatch.setenv("SPOCK_FUSED_STEP", "1")
+    cf = sp_alg.sp_init_fused(meta, x0, z0, v0, opts)
+    for ph in range(n_it):
+        bodyf = sp_alg.sp_body_fused(
+            data, meta, tol, opts, phase=ph % 3, max_iter=10_000
+        )
+        cf = bodyf(cf)
+    zf, vf = pallas_spstep.unpack_pair(meta, cf.zv)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((zf, vf)),
+        jax.tree_util.tree_leaves((c.z, c.v)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-10
+        )
+    np.testing.assert_array_equal(np.asarray(cf.niter), np.asarray(c.niter))
+
+
 def test_fused_solve_matches_xla_path(monkeypatch):
     _, data, meta = _built()
     B = 4

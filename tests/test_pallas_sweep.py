@@ -196,6 +196,63 @@ def test_fused_candidate_sweep_matches_reference(which):
     )
 
 
+def test_fused_sweep_nonuniform_risk_matches_reference():
+    """Round-4 coverage closure: per-node risk data (nonuniform AV@R —
+    get_nonuniform_rms_avar_v2, risk_measures.jl:127-136) rides the
+    megakernel: b as [ny, n_nl], S2 projectors as a per-node contraction."""
+    import dataclasses as dc
+
+    from spock_tpu import risks
+    from spock_tpu.algorithms import common
+    from spock_tpu.ops.linop import metric_apply
+
+    spec = server_heat.make_spec(N=4, nx=5, d=2)
+    _, meta0 = build(spec, dtype=jnp.float64)
+    n_nl = meta0.tree.n_nonleaf
+    rng = np.random.default_rng(5)
+    ps = rng.dirichlet(np.ones(2), size=n_nl)
+    alphas = rng.uniform(0.7, 0.99, n_nl)
+    spec = dc.replace(spec, risk=risks.avar_nonuniform(ps, alphas))
+    data, meta = build(spec, dtype=jnp.float64)
+    assert data.b.shape[0] == n_nl  # genuinely per-node
+    assert pallas_sweep.supported(meta, data)
+
+    B = 4
+    z = rand_primal(rng, meta, batch=(B,))
+    v = rand_dual(rng, meta, batch=(B,))
+    dz = rand_primal(rng, meta, batch=(B,))
+    dv = rand_dual(rng, meta, batch=(B,))
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, meta.nx)))
+    tau = jnp.asarray(rng.uniform(0.3, 1.0, (B,)))
+    gamma, sigma = 0.2, 0.25
+
+    ref_m = common.cp_sweep_metric_ref(data, meta, z, v, gamma, sigma, x0)
+    ref_c = common.candidate_sweep_ref(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0
+    )
+    ref_mm = metric_apply(data, meta, z, v, gamma, sigma)
+    fus_m = pallas_sweep.cp_sweep_metric_fused(
+        data, meta, z, v, gamma, sigma, x0, interpret=True
+    )
+    fus_c = pallas_sweep.candidate_sweep_fused(
+        data, meta, z, v, dz, dv, tau, gamma, sigma, x0, interpret=True
+    )
+    fus_mm = pallas_sweep.metric_apply_fused(
+        data, meta, z, v, gamma, sigma, interpret=True
+    )
+    for tag, ref, fus in [
+        ("sweep_metric", ref_m, fus_m),
+        ("candidate", ref_c, fus_c),
+        ("metric", ref_mm, fus_mm),
+    ]:
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(fus)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-9, err_msg=tag
+            )
+
+
 def test_fused_sweep_with_polytopes_matches_reference():
     """Round-3 supported() widening: two-sided polytopic rows ride the
     megakernel (L', prox clip, metric, direction reductions) and match the
