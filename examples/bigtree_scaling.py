@@ -18,6 +18,13 @@ Writes examples/output/bigtree_scaling.json.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import dataclasses
 import json
 import os
@@ -28,6 +35,18 @@ import numpy as np
 
 def main():
     import jax
+
+    # virtual-mesh example: force the CPU platform regardless of the
+    # environment's pinned default (the env var alone does not switch it
+    # once sitecustomize has imported jax — CLAUDE.md)
+    if os.environ.get("SPOCK_BIGTREE_DEVICE", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+        assert jax.default_backend() == "cpu", jax.default_backend()
+
     import jax.numpy as jnp
 
     from spock_tpu import build, problem

@@ -7,6 +7,13 @@ full body.  Honors SPOCK_PALLAS_SWEEP (read at import).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import os
 import time
 

@@ -29,6 +29,13 @@ Writes examples/output/pod_scale_{chip,mesh}.json.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import json
 import os
 import time
@@ -53,7 +60,7 @@ def _farm_rate(data, meta, B, steps, tol, chunk, dtype, mesh=None):
         data_l = pmesh.replicate(data, mesh)
         x0 = pmesh.shard_batch(x0, mesh)
     r1 = mpc.simulate_async(
-        data_l, meta, x0, ws_t, tol, n_steps=4, iters_per_launch=chunk
+        data_l, meta, x0, ws_t, tol, n_steps=8, iters_per_launch=chunk
     )
     jax.block_until_ready(r1)
     # timed phase from warm state
@@ -92,23 +99,33 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     if mode == "chip":
-        # headline problem, lane counts up to the pod-scale 8k+
+        # headline problem, lane counts toward the pod-scale regime.  The
+        # whole-iteration fused-step carry packs ~14 iterate trios per lane
+        # (~7 MiB at this config) and OOMs the 16G HBM at B >= 1024, so the
+        # scaling sweep runs the per-op megakernel path and records the
+        # per-lane footprint — the number that sets instances-per-chip when
+        # a pod spreads 10k+ instances over its chips.
+        os.environ.setdefault("SPOCK_FUSED_STEP", "0")
         N, nx, d = 10, 20, 2
         dtype = jnp.float32
         spec = server_heat.make_spec(N=N, nx=nx, d=d)
         data, meta = build(spec, dtype=dtype)
         tol = jnp.asarray(1e-3, dtype)
-        steps = int(os.environ.get("SPOCK_POD_STEPS", "48"))
+        steps = int(os.environ.get("SPOCK_POD_STEPS", "100"))
         rows = []
-        for B in (1024, 2048, 4096, 8192):
-            chunk = int(os.environ.get("SPOCK_POD_CHUNK", "150"))
-            rate, dt, solves = _farm_rate(
-                data, meta, B, steps, tol, chunk, dtype
-            )
-            # per-lane persistent state: (z,v) + cache + r/s_prev + 6 AA rows
-            from spock_tpu.ops import pallas_spstep
+        from spock_tpu.ops import pallas_spstep
 
-            lane_mb = 10 * 4 * pallas_spstep._trio_padded(meta) / 2**20
+        lane_mb = 14 * 4 * pallas_spstep._trio_padded(meta) / 2**20
+        for B in (128, 256, 512, 1024):
+            chunk = int(os.environ.get("SPOCK_POD_CHUNK", "150"))
+            try:
+                rate, dt, solves = _farm_rate(
+                    data, meta, B, steps, tol, chunk, dtype
+                )
+            except Exception as e:  # noqa: BLE001 — record the memory wall
+                rows.append(dict(B=B, error=str(e)[:300]))
+                print(rows[-1], flush=True)
+                break
             rows.append(
                 dict(B=B, solves_per_s=round(rate, 1), wall_s=round(dt, 2),
                      solves=solves, per_lane_state_MiB=round(lane_mb, 2))

@@ -8,6 +8,13 @@ on the headline server_heat config.  Run on the TPU:
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import os
 import time
 
