@@ -206,6 +206,71 @@ def check_polytope_sweep(report):
     }
 
 
+def check_polytope_converged_solve(report):
+    """A polytope config solved TO TOLERANCE through the fused paths on the
+    default device, controls/objective vs the float64 sparse-ADMM oracle
+    (advisor r3: interpret-mode parity can't catch a Mosaic compile failure
+    or numeric divergence of the polytope megakernel on hardware)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spock_tpu import build, problem
+    from spock_tpu.algorithms import supermann as sp_alg
+    from spock_tpu.baselines import admm_ref
+    from spock_tpu.models import server_heat
+    from spock_tpu.solver import zero_dual, zero_primal
+
+    nx = 4
+    spec = server_heat.make_spec(N=4, nx=nx, d=2)
+    Gx = np.array([[1.0, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, -0.3]])
+    poly = problem.Polytope(
+        Gx=Gx,
+        Gu=np.array([[0.2, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.1]]),
+        lo=np.array([-0.6, -0.5]),
+        hi=np.array([0.6, 0.5]),
+        GxN=Gx[:1],
+        loN=np.array([-0.55]),
+        hiN=np.array([0.55]),
+    )
+    spec = dc.replace(spec, polytope=poly)
+    data, meta = build(spec, dtype=jnp.float32)
+    _os.environ["SPOCK_PALLAS_SWEEP"] = "1"
+    _os.environ["SPOCK_FUSED_STEP"] = "1"
+    assert sp_alg.use_fused_step(data, meta, sp_alg.SuperMannOpts())
+
+    B = 8
+    rng = np.random.default_rng(3)
+    x0 = np.asarray(rng.uniform(-0.4, 0.4, (B, nx)), np.float32)
+    res = sp_alg.run_supermann(
+        data, meta, jnp.asarray(x0),
+        zero_primal(meta, (B,), jnp.float32),
+        zero_dual(meta, (B,), jnp.float32),
+        tol=jnp.asarray(1e-4, jnp.float32), max_iter=2000,
+    )
+    jax.block_until_ready(res.status)
+    conv = bool(jnp.all(res.status == 0))
+    u0 = np.asarray(res.z.u)[:, :, 0]
+    s1 = np.asarray(res.z.s)[:, 0]
+    errs_u, errs_s = [], []
+    for i in range(2):  # two oracle instances keep the run bounded
+        ref = admm_ref.solve(
+            spec, np.asarray(x0[i], np.float64), tol=1e-8, max_iter=20000
+        )
+        assert ref["converged"]
+        errs_u.append(float(np.max(np.abs(u0[i] - ref["u"][0]))))
+        errs_s.append(float(abs(s1[i] - ref["objective"])))
+    report["polytope_converged_solve_on_chip"] = {
+        "converged": conv,
+        "iters": np.asarray(res.iterations).tolist(),
+        "worst_u0_err_vs_admm": max(errs_u),
+        "worst_obj_err_vs_admm": max(errs_s),
+        "ok": bool(conv and max(errs_u) < 1e-3 and max(errs_s) < 1e-3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -216,7 +281,8 @@ def main():
             "chip_kernels.json",
         ),
     )
-    ap.add_argument("--skip", default="", help="comma list: step,poly")
+    ap.add_argument("--skip", default="",
+                    help="comma list: step,poly,polysolve")
     args = ap.parse_args()
 
     _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -233,6 +299,8 @@ def main():
         check_fused_step(report)
     if "poly" not in skip:
         check_polytope_sweep(report)
+    if "polysolve" not in skip:
+        check_polytope_converged_solve(report)
     ok = all(
         v.get("ok", True) for v in report.values() if isinstance(v, dict)
     )
