@@ -83,8 +83,10 @@ def main():
     tol_a = jnp.asarray(tol, jnp.float32)
 
     # bounded device launches: the tunneled backend watchdogs long single
-    # executions; ~200 sweep iterations/launch keeps each under ~10 s
-    chunk = int(os.environ.get("SPOCK_BENCH_CHUNK", "200"))
+    # executions (>60 s); 400 iterations/launch is ~3 s warm / ~10 s cold
+    # and measured +4% over 200 (fewer host round-trips per repeat).  The
+    # launch budget is a dynamic arg, so changing it never recompiles.
+    chunk = int(os.environ.get("SPOCK_BENCH_CHUNK", "400"))
     # fail-fast iteration ceiling: the healthy run needs ~1-2k farm
     # iterations total; a lane that stops converging (NaN, bad kernel)
     # would otherwise spin to the 1e6 default for hours inside a silent
