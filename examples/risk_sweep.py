@@ -52,6 +52,7 @@ def main():
     sweep.append(("tv[0.3]", risks.total_variation(p, 0.3, nnl)))
     sweep.append(("evar[0.5]", risks.evar(p, 0.5, nnl)))
 
+    rows = []
     for name, risk in sweep:
         spec = dataclasses.replace(base, risk=risk)
         data, meta = build(spec, dtype=jnp.float32)
@@ -61,17 +62,31 @@ def main():
         t0 = time.perf_counter()
         res = solver.solve(x0, tol=args.tol)
         jax.block_until_ready(res.z)
-        print(
-            json.dumps(
-                {
-                    "risk": name,
-                    "objective": round(float(res.z.s[0]), 6),
-                    "iters": int(res.iterations),
-                    "converged": bool(res.converged),
-                    "wall_s": round(time.perf_counter() - t0, 4),
-                }
-            )
+        rows.append(
+            {
+                "risk": name,
+                "objective": round(float(res.z.s[0]), 6),
+                "iters": int(res.iterations),
+                "converged": bool(res.converged),
+                "wall_s": round(time.perf_counter() - t0, 4),
+            }
         )
+        print(json.dumps(rows[-1]), flush=True)
+
+    outdir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "output")
+    _os.makedirs(outdir, exist_ok=True)
+    path = _os.path.join(outdir, "risk_sweep_n12.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "config": {"N": N, "d": d, "nx": args.nx, "tol": args.tol,
+                           "backend": jax.default_backend()},
+                "rows": rows,
+            },
+            f, indent=1,
+        )
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
