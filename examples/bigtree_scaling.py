@@ -42,9 +42,15 @@ def main():
     if os.environ.get("SPOCK_BIGTREE_DEVICE", "cpu") == "cpu":
         jax.config.update("jax_platforms", "cpu")
         if jax.default_backend() != "cpu":
-            import jax.extend.backend
+            try:  # version-sensitive API: moved across jax releases
+                import jax.extend.backend
 
-            jax.extend.backend.clear_backends()
+                jax.extend.backend.clear_backends()
+            except (ImportError, AttributeError) as e:
+                raise RuntimeError(
+                    "cannot re-init the JAX backend after switching "
+                    f"platforms ({e}); run with JAX_PLATFORMS=cpu"
+                ) from e
         assert jax.default_backend() == "cpu", jax.default_backend()
 
     import jax.numpy as jnp

@@ -70,10 +70,13 @@ def hlo_collective_stats(compiled_text: str) -> dict:
     count = 0
     # e.g.:  %ag = f32[1,4,2048]{2,1,0} all-gather(...)
     #        %ar = (f32[2], f32[2]) all-reduce(...)
+    # Async collectives lower to a -start/-done pair describing ONE transfer;
+    # count only the sync op or the -start half (matching any "-" suffix
+    # would double-count every async collective and its bytes).
     pat = re.compile(
         r"=\s*(\(?[a-z0-9]+\[[0-9,]*\][^)]*?\)?)\s+("
         + "|".join(_COLLECTIVES)
-        + r")[\(\-]"
+        + r")(?:-start)?\("
     )
     shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
     for m in pat.finditer(compiled_text):

@@ -69,6 +69,28 @@ def test_refvec_layout_matches_reference_convention():
             assert perm[j] == t.stage_offset(st) + ref_par_loc * t.d + k
 
 
+def test_hlo_collective_stats_counts_async_pairs_once():
+    """Async collectives lower to a -start/-done pair describing ONE
+    transfer; the parser must count each pair once (and not the -done
+    half), alongside plain sync ops."""
+    from spock_tpu.utils.profiling import hlo_collective_stats
+
+    hlo = """
+  %ag.1 = f32[4,128]{1,0} all-gather-start(f32[1,128] %p0), dimensions={0}
+  %ag.2 = f32[4,128]{1,0} all-gather-done(f32[4,128] %ag.1)
+  %ar.1 = f32[2]{0} all-reduce(f32[2] %p1), to_apply=%add
+  %cp.1 = f32[8]{0} collective-permute-start(f32[8] %p2)
+  %cp.2 = f32[8]{0} collective-permute-done(f32[8] %cp.1)
+"""
+    stats = hlo_collective_stats(hlo)
+    assert stats["count"] == 3, stats
+    assert stats["by_kind"]["all-gather"]["count"] == 1
+    assert stats["by_kind"]["all-gather"]["bytes"] == 4 * 128 * 4
+    assert stats["by_kind"]["all-reduce"]["count"] == 1
+    assert stats["by_kind"]["collective-permute"]["count"] == 1
+    assert stats["by_kind"]["collective-permute"]["bytes"] == 8 * 4
+
+
 def test_checkpoint_roundtrip(tmp_path):
     data, meta = _built()
     rng = np.random.default_rng(2)
