@@ -76,13 +76,22 @@ def main():
     outdir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                            "output")
     _os.makedirs(outdir, exist_ok=True)
-    path = _os.path.join(outdir, "risk_sweep_n12.json")
+    name = "risk_sweep_n12.json" if not args.small else "risk_sweep_small.json"
+    path = _os.path.join(outdir, name)
     with open(path, "w") as f:
         json.dump(
             {
                 "config": {"N": N, "d": d, "nx": args.nx, "tol": args.tol,
-                           "backend": jax.default_backend()},
+                           "backend": jax.default_backend(),
+                           "n_nodes": int(base.tree.n)},
                 "rows": rows,
+                "note": (
+                    "BASELINE config 3: risk-neutral + AV@R grid + TV + EVaR "
+                    f"on the fixed branching-{d} N={N} tree "
+                    f"({base.tree.n} nodes), float32, SPOCK, cold "
+                    f"solves to tol={args.tol} on the "
+                    f"{jax.default_backend()} backend"
+                ),
             },
             f, indent=1,
         )

@@ -671,11 +671,13 @@ def sp_body_fused(
             g0, g1, g2 = sc[:, 10], sc[:, 11], sc[:, 12]
 
             def dcls(rc, pc, p1c, p2c):
+                # lane_rows: per-lane scalar broadcast in whatever trio
+                # layout the pallas_spstep flavor uses (lane-packed or -tiled)
                 return (
                     -rc
-                    - g0[:, None, None] * pc
-                    - g1[:, None, None] * p1c
-                    - g2[:, None, None] * p2c
+                    - pallas_spstep.lane_rows(g0, rc) * pc
+                    - pallas_spstep.lane_rows(g1, rc) * p1c
+                    - pallas_spstep.lane_rows(g2, rc) * p2c
                 )
 
             d_trio = tuple(
@@ -692,9 +694,11 @@ def sp_body_fused(
                 sc[:, 7], dtype,
             )
             znf = pallas_spstep.pack_pair(meta, bt.z_acc, bt.v_acc)
-            act3 = active[:, None, None]
             snf = tuple(
-                jnp.where(act3, znf[i] - c.zv[i], c.s_prev[i])
+                jnp.where(
+                    pallas_spstep.lane_mask(active, znf[i]),
+                    znf[i] - c.zv[i], c.s_prev[i],
+                )
                 for i in range(3)
             )
             return znf, snf, bt.r_safe, bt.xi1, bt.xi2, bt.bt
