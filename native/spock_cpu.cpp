@@ -36,15 +36,22 @@ struct Problem {
   const double *sqrtQ;   // [nx, nx]   (uniform across nodes)
   const double *sqrtR;   // [nu, nu]
   const double *sqrtQN;  // [nx, nx]
-  const double *bvec;    // [ny]
-  const double *ker;     // [m, m], m = ny + 2d (kernel projector)
+  const double *bvec;    // [ny] uniform | [n_nonleaf, ny] per-node
+  const double *ker;     // [m, m] | [n_nonleaf, m, m], m = ny + 2d
+  int risk_per_node;     // bvec/ker carry a leading node axis when set
   // Riccati factors, stage-uniform: for stage t in [0, N-1)
   const double *K;     // [N-1, nu, nx]
   const double *Rtinv; // [N-1, nu, nu]
   const double *ABK;   // [N-1, d, nx, nx]
   const double *PB;    // [N-1, d, nx, nu]
-  // box
-  double x_min, x_max, u_min, u_max;
+  // box (per-dimension bounds)
+  const double *x_min, *x_max;  // [nx]
+  const double *u_min, *u_max;  // [nu]
+  // two-sided polytopic constraints Gx x + Gu u in [plo, phi] per non-leaf,
+  // GxN x in [ploN, phiN] per leaf (0 rows = absent)
+  int nc, ncL;
+  const double *Gx, *Gu, *plo, *phi;    // [nc,nx],[nc,nu],[nc],[nc]
+  const double *GxN, *ploN, *phiN;      // [ncL,nx],[ncL],[ncL]
   // cone spec for K* applied to y: for AV@R this is nonneg on the first
   // ny_nonneg entries, free on the rest. General product cones are encoded
   // as segment lists (kind, dim).
@@ -83,9 +90,9 @@ static ZOff zoff(const Problem &p) {
   o.nz = o.y + p.n_nonleaf * p.ny;
   return o;
 }
-// offsets into v
+// offsets into v (polytope dual rows pnl/plf appended, sized by nc/ncL)
 struct VOff {
-  long y, sby, qx, ru, t5, t6, cx, cu, qNx, s12, s13, cxN, nv;
+  long y, sby, qx, ru, t5, t6, cx, cu, qNx, s12, s13, cxN, pnl, plf, nv;
 };
 static VOff voff(const Problem &p) {
   VOff o;
@@ -101,7 +108,9 @@ static VOff voff(const Problem &p) {
   o.s12 = o.qNx + p.n_leaf * p.nx;
   o.s13 = o.s12 + p.n_leaf;
   o.cxN = o.s13 + p.n_leaf;
-  o.nv = o.cxN + p.n_leaf * p.nx;
+  o.pnl = o.cxN + p.n_leaf * p.nx;
+  o.plf = o.pnl + p.n_nonleaf * p.nc;
+  o.nv = o.plf + p.n_leaf * p.ncL;
   return o;
 }
 
@@ -136,11 +145,12 @@ static void apply_L(const Problem &p, const double *z, double *v) {
   const long nnl = p.n_nonleaf, nlf = p.n_leaf, n = p.n;
   // v1 = y
   std::memcpy(v + vo.y, z + zo.y, sizeof(double) * nnl * p.ny);
-  // v2 = s_i - b'y_i
+  // v2 = s_i - b_i'y_i
   for (long i = 0; i < nnl; ++i) {
     double dot = 0;
     const double *yi = z + zo.y + i * p.ny;
-    for (int k = 0; k < p.ny; ++k) dot += p.bvec[k] * yi[k];
+    const double *bi = p.bvec + (p.risk_per_node ? i * p.ny : 0);
+    for (int k = 0; k < p.ny; ++k) dot += bi[k] * yi[k];
     v[vo.sby + i] = z[zo.s + i] - dot;
   }
   // v3/v4: sqrtQ x_par, sqrtR u_par; v5/v6 = tau/2 (non-root j = 1..n-1)
@@ -165,6 +175,15 @@ static void apply_L(const Problem &p, const double *z, double *v) {
     v[vo.s13 + k] = 0.5 * z[zo.s + i];
   }
   std::memcpy(v + vo.cxN, z + zo.x + nnl * p.nx, sizeof(double) * nlf * p.nx);
+  // polytope rows: Gx x_i + Gu u_i (non-leaf), GxN x_i (leaf)
+  for (long i = 0; i < nnl && p.nc; ++i) {
+    double *pi = v + vo.pnl + i * p.nc;
+    matvec(p.Gx, z + zo.x + i * p.nx, pi, p.nc, p.nx, false);
+    matvec(p.Gu, z + zo.u + i * p.nu, pi, p.nc, p.nu, true);
+  }
+  for (long k = 0; k < nlf && p.ncL; ++k)
+    matvec(p.GxN, z + zo.x + (nnl + k) * p.nx, v + vo.plf + k * p.ncL, p.ncL,
+           p.nx, false);
 }
 
 static void apply_LT(const Problem &p, const double *v, double *z) {
@@ -193,12 +212,22 @@ static void apply_LT(const Problem &p, const double *v, double *z) {
     matvecT(p.sqrtR, v + vo.ru + (j - 1) * p.nu, z + zo.u + par * p.nu, p.nu,
             p.nu, true);
   }
-  // y = v1 - b * v2
+  // y = v1 - b_i * v2
   for (long i = 0; i < nnl; ++i) {
     const double s2 = v[vo.sby + i];
+    const double *bi = p.bvec + (p.risk_per_node ? i * p.ny : 0);
     for (int k = 0; k < p.ny; ++k)
-      z[zo.y + i * p.ny + k] = v[vo.y + i * p.ny + k] - p.bvec[k] * s2;
+      z[zo.y + i * p.ny + k] = v[vo.y + i * p.ny + k] - bi[k] * s2;
   }
+  // polytope adjoints into x/u
+  for (long i = 0; i < nnl && p.nc; ++i) {
+    const double *pi = v + vo.pnl + i * p.nc;
+    matvecT(p.Gx, pi, z + zo.x + i * p.nx, p.nc, p.nx, true);
+    matvecT(p.Gu, pi, z + zo.u + i * p.nu, p.nc, p.nu, true);
+  }
+  for (long k = 0; k < nlf && p.ncL; ++k)
+    matvecT(p.GxN, v + vo.plf + k * p.ncL, z + zo.x + (nnl + k) * p.nx, p.ncL,
+            p.nx, true);
   // tau = (t5 + t6)/2 ; s
   for (long j = 1; j < n; ++j)
     z[zo.tau + j - 1] = 0.5 * (v[vo.t5 + j - 1] + v[vo.t6 + j - 1]);
@@ -289,7 +318,8 @@ static void projection_S2(const Problem &p, double *s1, double *tau, double *y,
       vec[p.ny + c] = s1[j];
       vec[p.ny + p.d + c] = tau[j];
     }
-    matvec(p.ker, vec, out, m, m, false);
+    matvec(p.ker + (p.risk_per_node ? i * (long)m * m : 0), vec, out, m, m,
+           false);
     for (int k = 0; k < p.ny; ++k) y[i * p.ny + k] = out[k];
     for (int c = 0; c < p.d; ++c) {
       long j = p.d * i + c;
@@ -402,17 +432,22 @@ static void prox_h_conj(const Problem &p, double *v, double sigma, Work &w) {
       v[vo.s12 + k2] = sigma * (wv[len - 1] - vec[len - 1]);
     }
   }
-  // -- boxes
-  auto box = [&](double *ptr, long count, double lo, double hi) {
+  // -- boxes (per-dimension bounds)
+  auto box = [&](double *ptr, long count, int dim, const double *lo,
+                 const double *hi) {
     for (long k = 0; k < count; ++k) {
+      int j = (int)(k % dim);
       double wv = ptr[k] * inv;
-      double pv = std::min(std::max(wv, lo), hi);
+      double pv = std::min(std::max(wv, lo[j]), hi[j]);
       ptr[k] = sigma * (wv - pv);
     }
   };
-  box(v + vo.cx, nnl * p.nx, p.x_min, p.x_max);
-  box(v + vo.cu, nnl * p.nu, p.u_min, p.u_max);
-  box(v + vo.cxN, nlf * p.nx, p.x_min, p.x_max);
+  box(v + vo.cx, nnl * p.nx, p.nx, p.x_min, p.x_max);
+  box(v + vo.cu, nnl * p.nu, p.nu, p.u_min, p.u_max);
+  box(v + vo.cxN, nlf * p.nx, p.nx, p.x_min, p.x_max);
+  // -- polytope rows: two-sided clip onto [plo, phi] (cf. ops/prox.py:130)
+  if (p.nc) box(v + vo.pnl, nnl * p.nc, p.nc, p.plo, p.phi);
+  if (p.ncL) box(v + vo.plf, nlf * p.ncL, p.ncL, p.ploN, p.phiN);
 }
 
 // ---------------------------------------------------------------------------
@@ -432,32 +467,59 @@ static double inf_norm(const double *a, long n) {
 
 }  // namespace
 
-extern "C" {
+// shared C-ABI argument list + Problem construction for both solvers
+#define SPOCK_ARGS \
+    int N, int d, int nx, int nu, int ny, const double *A, const double *B, \
+    const double *sqrtQ, const double *sqrtR, const double *sqrtQN, \
+    const double *bvec, const double *ker, int risk_per_node, \
+    const double *Kfac, const double *Rtinv, const double *ABK, \
+    const double *PB, const double *x_min, const double *x_max, \
+    const double *u_min, const double *u_max, const int32_t *cone_kinds, \
+    const int32_t *cone_dims, int n_cones, int nc, const double *Gx, \
+    const double *Gu, const double *plo, const double *phi, int ncL, \
+    const double *GxN, const double *ploN, const double *phiN, \
+    const double *x0, double gamma, double sigma, double tol, \
+    long max_iter, double *z, double *v
 
-// Solve with plain Chambolle-Pock.  z/v are warm-start in, solution out.
-// Returns iterations used, or -1 - iters when not converged.
-long spock_cpu_solve_cp(
-    // sizes
-    int N, int d, int nx, int nu, int ny,
-    // data
-    const double *A, const double *B, const double *sqrtQ, const double *sqrtR,
-    const double *sqrtQN, const double *bvec, const double *ker,
+namespace {
+static Problem build_problem(
+    int N, int d, int nx, int nu, int ny, const double *A, const double *B,
+    const double *sqrtQ, const double *sqrtR, const double *sqrtQN,
+    const double *bvec, const double *ker, int risk_per_node,
     const double *Kfac, const double *Rtinv, const double *ABK,
-    const double *PB, double x_min, double x_max, double u_min, double u_max,
-    const int32_t *cone_kinds, const int32_t *cone_dims, int n_cones,
-    // solve
-    const double *x0, double gamma, double sigma, double tol, long max_iter,
-    double *z, double *v) {
+    const double *PB, const double *x_min, const double *x_max,
+    const double *u_min, const double *u_max, const int32_t *cone_kinds,
+    const int32_t *cone_dims, int n_cones, int nc, const double *Gx,
+    const double *Gu, const double *plo, const double *phi, int ncL,
+    const double *GxN, const double *ploN, const double *phiN) {
   Problem p;
   p.N = N; p.d = d; p.nx = nx; p.nu = nu; p.ny = ny;
   p.n = 1; { long pw = 1; for (int t = 1; t < N; ++t) { pw *= d; p.n += pw; } }
   p.n_leaf = 1; for (int t = 1; t < N; ++t) p.n_leaf *= d;
   p.n_nonleaf = p.n - p.n_leaf;
   p.A = A; p.B = B; p.sqrtQ = sqrtQ; p.sqrtR = sqrtR; p.sqrtQN = sqrtQN;
-  p.bvec = bvec; p.ker = ker; p.K = Kfac; p.Rtinv = Rtinv; p.ABK = ABK;
-  p.PB = PB;
+  p.bvec = bvec; p.ker = ker; p.risk_per_node = risk_per_node;
+  p.K = Kfac; p.Rtinv = Rtinv; p.ABK = ABK; p.PB = PB;
   p.x_min = x_min; p.x_max = x_max; p.u_min = u_min; p.u_max = u_max;
   p.cone_kinds = cone_kinds; p.cone_dims = cone_dims; p.n_cones = n_cones;
+  p.nc = nc; p.Gx = Gx; p.Gu = Gu; p.plo = plo; p.phi = phi;
+  p.ncL = ncL; p.GxN = GxN; p.ploN = ploN; p.phiN = phiN;
+  return p;
+}
+}  // namespace
+
+#define SPOCK_BUILD_P \
+  Problem p = build_problem(N, d, nx, nu, ny, A, B, sqrtQ, sqrtR, sqrtQN, \
+      bvec, ker, risk_per_node, Kfac, Rtinv, ABK, PB, x_min, x_max, u_min, \
+      u_max, cone_kinds, cone_dims, n_cones, nc, Gx, Gu, plo, phi, ncL, \
+      GxN, ploN, phiN)
+
+extern "C" {
+
+// Solve with plain Chambolle-Pock.  z/v are warm-start in, solution out.
+// Returns iterations used, or -1 - iters when not converged.
+long spock_cpu_solve_cp(SPOCK_ARGS) {
+  SPOCK_BUILD_P;
 
   ZOff zo = zoff(p);
   VOff vo = voff(p);
@@ -506,24 +568,8 @@ long spock_cpu_solve_cp(
 // Solve with SuperMann-globalized CP + window-3 Anderson acceleration —
 // the SPOCK algorithm (cf. sp.jl:358-469 and spock_tpu/algorithms/
 // supermann.py; real geometric backtracking, K0 disabled).
-long spock_cpu_solve_sp(
-    int N, int d, int nx, int nu, int ny, const double *A, const double *B,
-    const double *sqrtQ, const double *sqrtR, const double *sqrtQN,
-    const double *bvec, const double *ker, const double *Kfac,
-    const double *Rtinv, const double *ABK, const double *PB, double x_min,
-    double x_max, double u_min, double u_max, const int32_t *cone_kinds,
-    const int32_t *cone_dims, int n_cones, const double *x0, double gamma,
-    double sigma, double tol, long max_iter, double *z, double *v) {
-  Problem p;
-  p.N = N; p.d = d; p.nx = nx; p.nu = nu; p.ny = ny;
-  p.n = 1; { long pw = 1; for (int t = 1; t < N; ++t) { pw *= d; p.n += pw; } }
-  p.n_leaf = 1; for (int t = 1; t < N; ++t) p.n_leaf *= d;
-  p.n_nonleaf = p.n - p.n_leaf;
-  p.A = A; p.B = B; p.sqrtQ = sqrtQ; p.sqrtR = sqrtR; p.sqrtQN = sqrtQN;
-  p.bvec = bvec; p.ker = ker; p.K = Kfac; p.Rtinv = Rtinv; p.ABK = ABK;
-  p.PB = PB;
-  p.x_min = x_min; p.x_max = x_max; p.u_min = u_min; p.u_max = u_max;
-  p.cone_kinds = cone_kinds; p.cone_dims = cone_dims; p.n_cones = n_cones;
+long spock_cpu_solve_sp(SPOCK_ARGS) {
+  SPOCK_BUILD_P;
 
   ZOff zo = zoff(p);
   VOff vo = voff(p);

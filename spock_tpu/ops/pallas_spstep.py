@@ -379,6 +379,11 @@ _P_K1, _P_K2, _P_COEF = 0, 1, 3  # phase-4 reuse (phase-2 consumers done)
 
 def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
                       lam, lam_sp):
+    # phase-bisection knob for on-chip profiling ONLY (breaks semantics):
+    # comma list of {metric,md,gram,repl,sweep2} to skip
+    _skip = set(
+        s for s in os.environ.get("SPOCK_PROF_SKIP", "").split(",") if s
+    )
     t = meta.tree
     N, d = t.N, t.d
     nx, nu, ny = meta.nx, meta.nu, meta.ny
@@ -459,6 +464,8 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         def repl(row, s_vec):
             """Replicate a [1, bt] per-lane vector across lanes into srep
             row ``row`` (one MXU dot against the tiled identity)."""
+            if "repl" in _skip:
+                return
             srep[row : row + 1, :] = _dot(s_vec, tile_ref[:])
 
         def rrow(row, w):
@@ -1046,7 +1053,8 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         @pl.when(allc == 0)
         def _fresh():
             sweep(rp_z, sb_trio)
-            metric_accum(rp_z, sb_trio, _R_RNF, _M_NMZ, _M_NMV)
+            if "metric" not in _skip:
+                metric_accum(rp_z, sb_trio, _R_RNF, _M_NMZ, _M_NMV)
 
         # per-lane select: cached candidate results / fresh sweep
         repl(_P_CACHE, sc(_SC_CACHE))
@@ -1063,26 +1071,40 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         hp_v = sc(_SC_VALID1)
         v2_v = sc(_SC_VALID2)
 
+        if "phase2" in _skip:
+            for src, dsts in ((zW, (oyW, opW, orW)), (zY, (oyY, opY, orY)),
+                              (zS, (oyS, opS, orS))):
+                val = src[0]
+                for dref in dsts:
+                    dref[0] = val
+            sdW[0] = zW[0]
+            sdY[0] = zY[0]
+            sdS[0] = zS[0]
         # r, y, p as whole-class expressions (pads are zero by construction)
         rW_v = zW[0] - sbW[0]
         rY_v = zY[0] - sbY[0]
         rS_v = zS[0] - sbS[0]
+        if "phase2" in _skip:
+            def bmul(row, a):  # noqa: F811 - profiling stub
+                return a
         yW_v = rW_v - bmul(_P_HP, rpW[0])
         yY_v = rY_v - bmul(_P_HP, rpY[0])
         yS_v = rS_v - bmul(_P_HP, rpS[0])
-        oyW[0] = yW_v
-        oyY[0] = yY_v
-        oyS[0] = yS_v
+        if "phase2" not in _skip:
+            oyW[0] = yW_v
+            oyY[0] = yY_v
+            oyS[0] = yS_v
         pW_v = bmul(_P_HP, spW[0]) - yW_v
         pY_v = bmul(_P_HP, spY[0]) - yY_v
         pS_v = bmul(_P_HP, spS[0]) - yS_v
-        opW[0] = pW_v
-        opY[0] = pY_v
-        opS[0] = pS_v
-        # next r_prev: only active lanes advance their residual
-        orW[0] = bsel(_P_ACT, rW_v, rpW[0])
-        orY[0] = bsel(_P_ACT, rY_v, rpY[0])
-        orS[0] = bsel(_P_ACT, rS_v, rpS[0])
+        if "phase2" not in _skip:
+            opW[0] = pW_v
+            opY[0] = pY_v
+            opS[0] = pS_v
+            # next r_prev: only active lanes advance their residual
+            orW[0] = bsel(_P_ACT, rW_v, rpW[0])
+            orY[0] = bsel(_P_ACT, rY_v, rpY[0])
+            orS[0] = bsel(_P_ACT, rS_v, rpS[0])
 
         def acc_dot(row, aW, aY, aS, bW, bY, bS):
             sadd(row, aW * bW)
@@ -1091,6 +1113,8 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
 
         a1r = (a1rW[0], a1rY[0], a1rS[0])
         a2r = (a2rW[0], a2rY[0], a2rS[0])
+        if "gram" in _skip:
+            acc_dot = lambda *a: None
         acc_dot(_R_G00, yW_v, yY_v, yS_v, yW_v, yY_v, yS_v)
         acc_dot(_R_G01, yW_v, yY_v, yS_v, *a1r)
         acc_dot(_R_G02, yW_v, yY_v, yS_v, *a2r)
@@ -1140,18 +1164,19 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         repl(_P_G1, gam1)
         repl(_P_G2, gam2)
 
-        sdW[0] = (
-            -rW_v - bmul(_P_G0, pW_v) - bmul(_P_G1, a1pW[0])
-            - bmul(_P_G2, a2pW[0])
-        )
-        sdY[0] = (
-            -rY_v - bmul(_P_G0, pY_v) - bmul(_P_G1, a1pY[0])
-            - bmul(_P_G2, a2pY[0])
-        )
-        sdS[0] = (
-            -rS_v - bmul(_P_G0, pS_v) - bmul(_P_G1, a1pS[0])
-            - bmul(_P_G2, a2pS[0])
-        )
+        if "phase2" not in _skip:
+            sdW[0] = (
+                -rW_v - bmul(_P_G0, pW_v) - bmul(_P_G1, a1pW[0])
+                - bmul(_P_G2, a2pW[0])
+            )
+            sdY[0] = (
+                -rY_v - bmul(_P_G0, pY_v) - bmul(_P_G1, a1pY[0])
+                - bmul(_P_G2, a2pY[0])
+            )
+            sdS[0] = (
+                -rS_v - bmul(_P_G0, pS_v) - bmul(_P_G1, a1pS[0])
+                - bmul(_P_G2, a2pS[0])
+            )
 
         # re-zero the sum rows phase 3 accumulates into (finish_sum folded
         # stale partials across the whole row)
@@ -1164,9 +1189,16 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         def rp_cand(name, a=None, b_=None):
             return rd(z_trio, name, a, b_) + rd(sd_trio, name, a, b_)
 
-        sweep(rp_cand, ow_trio)
-        metric_accum(rp_cand, ow_trio, _R_RT, _M_NMRWZ, _M_NMRWV)
-        md_accum(rp_cand)
+        if "sweep2" not in _skip:
+            sweep(rp_cand, ow_trio)
+        else:
+            owW[0] = zW[0]
+            owY[0] = zY[0]
+            owS[0] = zS[0]
+        if "metric" not in _skip:
+            metric_accum(rp_cand, ow_trio, _R_RT, _M_NMRWZ, _M_NMRWV)
+        if "md" not in _skip:
+            md_accum(rp_cand)
         finish_sum()
         finish_max()
 
@@ -1213,13 +1245,20 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
             sel = bsel(_P_K1, w_v, bsel(_P_K2, zk2, zfb))
             ozr[0] = bsel(_P_ACT, sel, z_v)
 
-        commit(zW, sdW, owW, sbW, oznW)
-        commit(zY, sdY, owY, sbY, oznY)
-        commit(zS, sdS, owS, sbS, oznS)
-        # s_new: only active lanes advance the secant
-        osW[0] = bsel(_P_ACT, oznW[0] - zW[0], spW[0])
-        osY[0] = bsel(_P_ACT, oznY[0] - zY[0], spY[0])
-        osS[0] = bsel(_P_ACT, oznS[0] - zS[0], spS[0])
+        if "commit" in _skip:
+            for src, dsts in ((zW, (oznW, osW)), (zY, (oznY, osY)),
+                              (zS, (oznS, osS))):
+                val = src[0]
+                for dref in dsts:
+                    dref[0] = val
+        else:
+            commit(zW, sdW, owW, sbW, oznW)
+            commit(zY, sdY, owY, sbY, oznY)
+            commit(zS, sdS, owS, sbS, oznS)
+            # s_new: only active lanes advance the secant
+            osW[0] = bsel(_P_ACT, oznW[0] - zW[0], spW[0])
+            osY[0] = bsel(_P_ACT, oznY[0] - zY[0], spY[0])
+            osS[0] = bsel(_P_ACT, oznS[0] - zS[0], spS[0])
 
         # scalars
         r_safe_new = jnp.where(k1, rt + q_pow, r_safe)
@@ -1454,7 +1493,9 @@ def sp_step_fused(
         if interpret
         else pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=int(
+                os.environ.get("SPOCK_VMEM_LIMIT_MB", "110")
+            ) * 1024 * 1024,
         ),
     )(
         tile_all_cached,
