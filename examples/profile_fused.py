@@ -59,9 +59,9 @@ def main():
     f1 = 1.0 if cached else 0.0
     scal = jnp.asarray(
         np.broadcast_to(
-            np.asarray([1.0, 1.0, 1.0, f1, 1e3, 0.5, 1.0, 1.0, 1.0],
+            np.asarray([1.0, 1.0, 1.0, f1, 1e3, 0.5, 1.0, 1.0, 1.0, 1.0],
                        np.float32),
-            (B, 9),
+            (B, 10),
         )
     )
     gamma = sigma = jnp.float32(0.5)

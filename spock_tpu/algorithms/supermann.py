@@ -628,84 +628,171 @@ def sp_body_fused(
     a1, a2 = (phase - 1) % m, (phase - 2) % m
     interp = jax.default_backend() == "cpu"
 
+    # Backtracking via kernel retrials needs the kernel to take per-lane
+    # tau (lane-packed flavor only).  In interpret mode the kernel lowers
+    # to a huge XLA emulation graph, and embedding it in the backtracking
+    # while_loop makes every eager body() dispatch recompile it (minutes) —
+    # so interpret runs keep the per-op cond path unless a test forces the
+    # retrial path (SPOCK_FORCE_RETRIAL=1).
+    import os as _os
+
+    kernel_tau = getattr(pallas_spstep, "KERNEL_TAU", False) and (
+        not interp or _os.environ.get("SPOCK_FORCE_RETRIAL") == "1"
+    )
+
     def body(c: SPCarryF) -> SPCarryF:
         B = c.done.shape[0]
         dtype = c.r_safe.dtype
         active = (~c.done) & (c.it < max_iter)
         q_pow = jnp.asarray(opts.q, dtype) ** c.niter.astype(dtype)
-        scal_pack = jnp.stack(
-            [
-                active.astype(dtype),
-                (c.niter >= 1).astype(dtype),  # valid1 == has_prev
-                (c.niter >= 2).astype(dtype),  # valid2
-                c.cache_valid.astype(dtype),
-                c.r_safe,
-                q_pow,
-                c.rnorm_c,
-                c.nMrz_c,
-                c.nMrv_c,
-            ],
-            axis=-1,
-        )
-        z_new, w, r, s, y, p, sc = pallas_spstep.sp_step_fused(
-            data, meta, c.zv, c.cache, c.r_prev, c.s_prev,
-            c.MR[a1], c.MR[a2], c.MP[a1], c.MP[a2],
-            c.x0, scal_pack, gamma, sigma,
-            c1=float(opts.c1), sigma_k2=float(opts.sigma_k2),
-            lam=float(opts.lam), lam_sp=float(opts.lam_sp),
-            interpret=interp,
+
+        def pack_scal(act, cache, r_safe, rnc, nmzc, nmvc, tau):
+            return jnp.stack(
+                [
+                    act.astype(dtype),
+                    (c.niter >= 1).astype(dtype),  # valid1 == has_prev
+                    (c.niter >= 2).astype(dtype),  # valid2
+                    cache.astype(dtype),
+                    r_safe,
+                    q_pow,
+                    rnc,
+                    nmzc,
+                    nmvc,
+                    tau,
+                ],
+                axis=-1,
+            )
+
+        def step(act, cache, r_safe, rnc, nmzc, nmvc, tau):
+            return pallas_spstep.sp_step_fused(
+                data, meta, c.zv, c.cache, c.r_prev, c.s_prev,
+                c.MR[a1], c.MR[a2], c.MP[a1], c.MP[a2],
+                c.x0,
+                pack_scal(act, cache, r_safe, rnc, nmzc, nmvc, tau),
+                gamma, sigma,
+                c1=float(opts.c1), sigma_k2=float(opts.sigma_k2),
+                lam=float(opts.lam), lam_sp=float(opts.lam_sp),
+                interpret=interp,
+            )
+
+        ones = jnp.ones((B,), dtype)
+        z_new, w, r, s, y, p, sc = step(
+            active, c.cache_valid, c.r_safe, c.rnorm_c, c.nMrz_c, c.nMrv_c,
+            ones,
         )
         k1_first = sc[:, 0] > 0.5
         looping1 = sc[:, 2] > 0.5
         rnorm = sc[:, 3]
 
-        def no_bt(_):
-            return (z_new, s, sc[:, 5], sc[:, 6], sc[:, 7],
-                    jnp.ones((), jnp.int32))
-
-        def with_bt(_):
-            # rare path: some lane rejected the tau=1 candidate via both K1
-            # and K2 — unpack, rerun the geometric backtracking with the
-            # per-op megakernels, repack.
-            zz, vv = pallas_spstep.unpack_pair(meta, c.zv)
-            g0, g1, g2 = sc[:, 10], sc[:, 11], sc[:, 12]
-
-            def dcls(rc, pc, p1c, p2c):
-                # lane_rows: per-lane scalar broadcast in whatever trio
-                # layout the pallas_spstep flavor uses (lane-packed or -tiled)
-                return (
-                    -rc
-                    - pallas_spstep.lane_rows(g0, rc) * pc
-                    - pallas_spstep.lane_rows(g1, rc) * p1c
-                    - pallas_spstep.lane_rows(g2, rc) * p2c
+        if kernel_tau:
+            # geometric backtracking by RE-INVOKING the fused kernel at
+            # per-lane shrunken tau — everything stays in the packed layout
+            # (the earlier unpack/backtrack-per-op/pack cond branch made XLA
+            # pick a transposed {0,2,1} carry layout: 6.4x padded buffers
+            # plus layout-conversion copies around every pallas call,
+            # measured +7 ms/iteration on chip).  Retrial phases 1-2 are
+            # idempotent recomputation (z unchanged); only the candidate
+            # phase sees the new tau.  sp.jl:371's tau <- beta tau.
+            def bt_cond(st):
+                return jnp.any(st["looping"]) & (
+                    st["bt"] <= opts.max_backtracks
                 )
 
-            d_trio = tuple(
-                dcls(r[i], p[i], c.MP[a1][i], c.MP[a2][i]) for i in range(3)
-            )
-            dz, dv = pallas_spstep.unpack_pair(meta, d_trio)
-            z_a, v_a = pallas_spstep.unpack_pair(meta, z_new)
-            candidate = _make_candidate(
-                data, meta, c.x0, zz, vv, dz, dv, rnorm, q_pow, opts,
-                gamma, sigma,
-            )
-            bt = _run_backtracks(
-                candidate, opts, looping1, z_a, v_a, sc[:, 5], sc[:, 6],
-                sc[:, 7], dtype,
-            )
-            znf = pallas_spstep.pack_pair(meta, bt.z_acc, bt.v_acc)
-            snf = tuple(
-                jnp.where(
-                    pallas_spstep.lane_mask(active, znf[i]),
-                    znf[i] - c.zv[i], c.s_prev[i],
+            def bt_body(st):
+                z2, _w2, _r2, s2, _y2, _p2, sc2 = step(
+                    st["looping"], jnp.zeros((B,), bool), st["r_safe"],
+                    c.rnorm_c, c.nMrz_c, c.nMrv_c, st["tau"],
                 )
-                for i in range(3)
-            )
-            return znf, snf, bt.r_safe, bt.xi1, bt.xi2, bt.bt
+                k1 = sc2[:, 0] > 0.5
+                k2 = sc2[:, 1] > 0.5
+                acc = st["looping"] & (k1 | k2)
+                zf = tuple(
+                    jnp.where(
+                        pallas_spstep.lane_mask(acc, z2[i]), z2[i],
+                        st["zf"][i],
+                    )
+                    for i in range(3)
+                )
+                sf = tuple(
+                    jnp.where(
+                        pallas_spstep.lane_mask(acc, s2[i]), s2[i],
+                        st["sf"][i],
+                    )
+                    for i in range(3)
+                )
+                looping = st["looping"] & (sc2[:, 2] > 0.5)
+                return dict(
+                    zf=zf,
+                    sf=sf,
+                    r_safe=jnp.where(acc, sc2[:, 5], st["r_safe"]),
+                    xi1=jnp.where(acc, sc2[:, 6], st["xi1"]),
+                    xi2=jnp.where(acc, sc2[:, 7], st["xi2"]),
+                    looping=looping,
+                    tau=jnp.where(looping, st["tau"] * opts.beta,
+                                  st["tau"]),
+                    bt=st["bt"] + 1,
+                )
 
-        z_fin, s_fin, r_safe_f, xi1, xi2, btc = jax.lax.cond(
-            jnp.any(looping1), with_bt, no_bt, None
-        )
+            st = jax.lax.while_loop(
+                bt_cond,
+                bt_body,
+                dict(
+                    zf=z_new, sf=s, r_safe=sc[:, 5], xi1=sc[:, 6],
+                    xi2=sc[:, 7], looping=looping1,
+                    tau=jnp.full((B,), opts.beta, dtype),
+                    bt=jnp.ones((), jnp.int32),
+                ),
+            )
+            z_fin, s_fin = st["zf"], st["sf"]
+            r_safe_f, xi1, xi2, btc = (
+                st["r_safe"], st["xi1"], st["xi2"], st["bt"]
+            )
+        else:
+            # lane-tiled fallback kernel (SPOCK_LANE_PACK=0): backtracking
+            # via the per-op megakernels on unpacked iterates
+            def no_bt(_):
+                return (z_new, s, sc[:, 5], sc[:, 6], sc[:, 7],
+                        jnp.ones((), jnp.int32))
+
+            def with_bt(_):
+                zz, vv = pallas_spstep.unpack_pair(meta, c.zv)
+                g0, g1, g2 = sc[:, 10], sc[:, 11], sc[:, 12]
+
+                def dcls(rc, pc, p1c, p2c):
+                    return (
+                        -rc
+                        - pallas_spstep.lane_rows(g0, rc) * pc
+                        - pallas_spstep.lane_rows(g1, rc) * p1c
+                        - pallas_spstep.lane_rows(g2, rc) * p2c
+                    )
+
+                d_trio = tuple(
+                    dcls(r[i], p[i], c.MP[a1][i], c.MP[a2][i])
+                    for i in range(3)
+                )
+                dz, dv = pallas_spstep.unpack_pair(meta, d_trio)
+                z_a, v_a = pallas_spstep.unpack_pair(meta, z_new)
+                candidate = _make_candidate(
+                    data, meta, c.x0, zz, vv, dz, dv, rnorm, q_pow, opts,
+                    gamma, sigma,
+                )
+                bt = _run_backtracks(
+                    candidate, opts, looping1, z_a, v_a, sc[:, 5],
+                    sc[:, 6], sc[:, 7], dtype,
+                )
+                znf = pallas_spstep.pack_pair(meta, bt.z_acc, bt.v_acc)
+                snf = tuple(
+                    jnp.where(
+                        pallas_spstep.lane_mask(active, znf[i]),
+                        znf[i] - c.zv[i], c.s_prev[i],
+                    )
+                    for i in range(3)
+                )
+                return znf, snf, bt.r_safe, bt.xi1, bt.xi2, bt.bt
+
+            z_fin, s_fin, r_safe_f, xi1, xi2, btc = jax.lax.cond(
+                jnp.any(looping1), with_bt, no_bt, None
+            )
 
         conv, res0 = check_termination(xi1, xi2, c.res0, tol)
         cache_valid = k1_first | c.done | conv

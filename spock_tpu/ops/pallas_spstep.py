@@ -146,19 +146,28 @@ def _pair_leaves(z: Primal, v: Dual):
 
 
 def _lanepack(a, bt):
-    """[B, f, W] -> [B/bt, f, W*bt] with column = node*bt + lane."""
+    """[B, f, W] -> [B/bt, f, W*bt] with column = node*bt + lane.
+
+    The result is layout-barriered: without it, XLA layout assignment
+    propagates the transpose through to the surrounding program and picks a
+    {0,2,1} PHYSICAL layout for the packed trios — which (a) pads the f ~ 20
+    dim onto 128 lanes (6.4x HBM inflation) and (b) inserts layout-
+    conversion copies around every pallas call in the farm loop (measured:
+    +7 ms/iteration, the round-5 farm regression)."""
     B, f, W = a.shape
-    return (
+    out = (
         a.reshape(B // bt, bt, f, W)
         .transpose(0, 2, 3, 1)
         .reshape(B // bt, f, W * bt)
     )
+    return jax.lax.optimization_barrier(out)
 
 
 def _laneunpack(a, bt):
-    """Inverse of :func:`_lanepack`."""
+    """Inverse of :func:`_lanepack` (input layout-barriered, see there)."""
     G, f, Wbt = a.shape
     W = Wbt // bt
+    a = jax.lax.optimization_barrier(a)
     return (
         a.reshape(G, f, W, bt).transpose(0, 3, 1, 2).reshape(G * bt, f, W)
     )
@@ -236,6 +245,8 @@ def root_u(meta: ProblemMeta, trio):
     bt = trio_bt(meta, trio)
     _, rows, _, lo, _ = pk.seg["zu"]
     blk = trio[_W][:, :rows, lo * bt : (lo + 1) * bt]  # [G, nu, bt]
+    # barrier: keep the carry's {2,1,0} layout from chasing this transpose
+    blk = jax.lax.optimization_barrier(blk)
     G = blk.shape[0]
     return blk.transpose(0, 2, 1).reshape(G * bt, rows)
 
@@ -258,9 +269,10 @@ def lane_rows(s, arr):
     G, _, Wbt = arr.shape
     bt = s.shape[0] // G
     W = Wbt // bt
-    return jnp.broadcast_to(
-        s.reshape(G, 1, 1, bt), (G, 1, W, bt)
-    ).reshape(G, 1, Wbt)
+    return jax.lax.optimization_barrier(
+        jnp.broadcast_to(s.reshape(G, 1, 1, bt), (G, 1, W, bt))
+        .reshape(G, 1, Wbt)
+    )
 
 
 def lane_mask(mask, arr):
@@ -360,6 +372,13 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
 # scalar-pack input slots (packed [1, 16*bt], col = slot*bt + lane)
 _SC_ACTIVE, _SC_VALID1, _SC_VALID2, _SC_CACHE = 0, 1, 2, 3
 _SC_RSAFE, _SC_QPOW, _SC_RNC, _SC_NMZC, _SC_NMVC = 4, 5, 6, 7, 8
+_SC_TAU = 9  # per-lane candidate step size (1.0 on the peeled trial;
+#              beta^k on backtracking retrials — sp.jl:371)
+
+# host-visible capability flag: the packed kernel evaluates candidates at
+# per-lane tau, so SuperMann backtracking re-invokes THIS kernel on packed
+# trios (no unpack/pack/cond in the device loop)
+KERNEL_TAU = True
 # scalar-pack output slots
 _OC_K1, _OC_K2, _OC_LOOP, _OC_RN, _OC_RT, _OC_RSAFE = 0, 1, 2, 3, 4, 5
 _OC_XI1, _OC_XI2, _OC_NMRWZ, _OC_NMRWV = 6, 7, 8, 9
@@ -373,7 +392,7 @@ _R_RT, _R_RHO = 10, 11
 _M_NMZ, _M_NMV, _M_NMRWZ, _M_NMRWV, _M_NMDZ, _M_NMDV = 0, 1, 2, 3, 4, 5
 # broadcast-replica rows (srep [8, WW*bt])
 _P_HP, _P_V2, _P_ACT, _P_CACHE = 0, 1, 2, 3
-_P_G0, _P_G1, _P_G2 = 4, 5, 6
+_P_G0, _P_G1, _P_G2, _P_TAU = 4, 5, 6, 7
 _P_K1, _P_K2, _P_COEF = 0, 1, 3  # phase-4 reuse (phase-2 consumers done)
 
 
@@ -1184,10 +1203,15 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         sacc[_R_RHO : _R_RHO + 1, :] = jnp.zeros((1, WACC), dtp)
 
         # ==================================================================
-        # phase 3: candidate sweep + metric + M d reductions at (z + d)
+        # phase 3: candidate sweep + metric + M d reductions at (z + tau d)
         # ==================================================================
+        tau_v = sc(_SC_TAU)
+        repl(_P_TAU, tau_v)
+
         def rp_cand(name, a=None, b_=None):
-            return rd(z_trio, name, a, b_) + rd(sd_trio, name, a, b_)
+            return rd(z_trio, name, a, b_) + bmul(
+                _P_TAU, rd(sd_trio, name, a, b_)
+            )
 
         if "sweep2" not in _skip:
             sweep(rp_cand, ow_trio)
@@ -1221,7 +1245,7 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         q_pow = sc(_SC_QPOW)
         act_b = act_v > 0
         k1 = act_b & (rn <= r_safe) & (rt <= c1 * rn)
-        rho = rtsq - rho_dot  # tau = 1
+        rho = rtsq - tau_v * rho_dot
         k2 = act_b & (~k1) & (rho >= sigma_k2 * rn * rt)
         coef = lam_sp * jnp.where(
             rtsq > 0, rho / jnp.where(rtsq > 0, rtsq, 1.0), 0.0
@@ -1236,7 +1260,7 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
 
         def commit(zr, sdr, owr, sbr, ozr):
             z_v = zr[0]
-            w_v = z_v + sdr[0]
+            w_v = z_v + bmul(_P_TAU, sdr[0])
             zk2 = z_v - bmul(_P_COEF, w_v - owr[0])
             if lam == 1.0:
                 zfb = sbr[0]
@@ -1263,11 +1287,11 @@ def _make_step_kernel(meta, pk: PackMeta, bt, cone_segments, c1, sigma_k2,
         # scalars
         r_safe_new = jnp.where(k1, rt + q_pow, r_safe)
         xi1 = jnp.where(
-            k1, nmdz / gamma,
+            k1, tau_v * nmdz / gamma,
             jnp.where(k2, coef * nmrwz / gamma, lam * nmz_sel / gamma),
         )
         xi2 = jnp.where(
-            k1, nmdv / sigma,
+            k1, tau_v * nmdv / sigma,
             jnp.where(k2, coef * nmrwv / sigma, lam * nmv_sel / sigma),
         )
 
@@ -1471,8 +1495,12 @@ def sp_step_fused(
         [scal_pack, jnp.zeros((B, 16 - scal_pack.shape[-1]), dtype)], axis=-1
     )
     # pack: col = slot*bt + lane
-    sc16 = sc16.reshape(G, bt, 16).transpose(0, 2, 1).reshape(G, 1, 16 * bt)
-    x0p = x0.reshape(G, bt, nx).transpose(0, 2, 1)  # [G, nx, bt]
+    sc16 = jax.lax.optimization_barrier(
+        sc16.reshape(G, bt, 16).transpose(0, 2, 1).reshape(G, 1, 16 * bt)
+    )
+    x0p = jax.lax.optimization_barrier(
+        x0.reshape(G, bt, nx).transpose(0, 2, 1)
+    )  # [G, nx, bt]
     # per-tile "every lane cached" flag — controls the fresh-sweep skip
     tile_all_cached = jnp.min(
         scal_pack[:, 3].astype(jnp.int32).reshape(G, bt), axis=1
@@ -1518,7 +1546,8 @@ def sp_step_fused(
     y = tuple(outs[12:15])
     p = tuple(outs[15:18])
     out_scal = (
-        outs[18].reshape(G, 16, bt).transpose(0, 2, 1).reshape(B, 16)
+        jax.lax.optimization_barrier(outs[18])
+        .reshape(G, 16, bt).transpose(0, 2, 1).reshape(B, 16)
     )
     return z_new, w, r, s, y, p, out_scal
 

@@ -282,3 +282,50 @@ def test_fused_record_mode(monkeypatch):
     it0 = int(res.iterations[0])
     # recorded xi1 at the last iteration of lane 0 is below tolerance-ish
     assert np.isfinite(tr[: it0, 0]).all()
+
+
+def test_fused_backtracking_retrial_path_matches_xla(monkeypatch):
+    """The packed kernel's tau-retrial backtracking (the TPU path: rejected
+    lanes re-invoke the SAME kernel at shrunken per-lane tau) against the
+    XLA-composed geometric backtracking, on a tiny problem with acceptance
+    rigged so every lane backtracks to the CP fallback: c1 ~ 0 kills K1 and
+    sigma_k2 huge kills K2 (sp.jl:371 semantics)."""
+    from spock_tpu.models import car
+
+    spec = car.make_spec(N=3, d=2)
+    data, meta = build(spec, dtype=jnp.float64)
+    B = 2
+    rng = np.random.default_rng(23)
+    x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, meta.nx)))
+    opts = sp_alg.SuperMannOpts(c1=1e-9, sigma_k2=1e9, max_backtracks=3)
+    tol = jnp.asarray(1e-12)
+    z0 = zero_primal(meta, (B,), x0.dtype)
+    v0 = zero_dual(meta, (B,), x0.dtype)
+
+    n_it = 2
+    c = sp_alg.sp_init(meta, x0, z0, v0, opts)
+    body = sp_alg.sp_body(data, meta, tol, opts)
+    for _ in range(n_it):
+        c = body(c)
+
+    monkeypatch.setenv("SPOCK_FUSED_STEP", "1")
+    monkeypatch.setenv("SPOCK_FORCE_RETRIAL", "1")
+    cf = sp_alg.sp_init_fused(meta, x0, z0, v0, opts)
+    for ph in range(n_it):
+        bodyf = sp_alg.sp_body_fused(
+            data, meta, tol, opts, phase=ph % 3, max_iter=10_000
+        )
+        cf = bodyf(cf)
+
+    zf, vf = pallas_spstep.unpack_pair(meta, cf.zv)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((zf, vf)),
+        jax.tree_util.tree_leaves((c.z, c.v)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.xi1), np.asarray(c.xi1), rtol=1e-6, atol=1e-12
+    )
+    np.testing.assert_array_equal(np.asarray(cf.niter), np.asarray(c.niter))
