@@ -98,6 +98,7 @@ def main():
             ("spock", lambda m, st: bigtree.run_sp_sharded(
                 data, meta, x0, tol=jnp.asarray(0.0, dtype),
                 max_iter=iters, mesh=m, stats=st,
+                record=os.environ.get("SPOCK_BIGTREE_RECORD", "0") == "1",
             )),
         ):
             if algo not in algos_env:
@@ -107,23 +108,33 @@ def main():
             # of the sharding story — measurable on a virtual mesh even
             # though shared-core wall times are not a speedup signal)
             comm = {}
+            t0 = time.perf_counter()
             res, (zp, vp) = runner(mesh, comm)  # compile + run
             jax.block_until_ready(zp)
-            t0 = time.perf_counter()
-            res, (zp, vp) = runner(mesh, None)
-            jax.block_until_ready(zp)
             wall = time.perf_counter() - t0
+            if os.environ.get("SPOCK_BIGTREE_ONESHOT", "0") != "1":
+                # re-run for compile-free timing (skipped at the largest
+                # configs where a second multi-GB run doubles the wall)
+                t0 = time.perf_counter()
+                res, (zp, vp) = runner(mesh, None)
+                jax.block_until_ready(zp)
+                wall = time.perf_counter() - t0
             per_iter = wall / iters
             iterate_bytes = sum(
                 a.size * a.dtype.itemsize
                 for a in jax.tree_util.tree_leaves((zp, vp))
             )
+            xi_trace = None
+            if res.residuals is not None:
+                tr = np.asarray(res.residuals)[:, 0, :2]
+                xi_trace = [[round(float(a), 6) for a in r] for r in tr]
             rows.append(
                 dict(ndev=ndev, algo=algo, iters=iters,
                      wall_s=round(wall, 3),
                      ms_per_iter=round(per_iter * 1e3, 2),
                      xi1=float(np.asarray(res.xi1)[0]),
                      xi2=float(np.asarray(res.xi2)[0]),
+                     xi_trace_per_iter=xi_trace,
                      iterate_bytes=iterate_bytes,
                      collectives_per_iter=comm.get("count"),
                      collective_bytes_per_iter=comm.get("bytes"),

@@ -99,13 +99,11 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     if mode == "chip":
-        # headline problem, lane counts toward the pod-scale regime.  The
-        # whole-iteration fused-step carry packs ~14 iterate trios per lane
-        # (~7 MiB at this config) and OOMs the 16G HBM at B >= 1024, so the
-        # scaling sweep runs the per-op megakernel path and records the
-        # per-lane footprint — the number that sets instances-per-chip when
-        # a pod spreads 10k+ instances over its chips.
-        os.environ.setdefault("SPOCK_FUSED_STEP", "0")
+        # headline problem, lane counts toward the pod-scale regime, on the
+        # production fused-step path (round 5; the round-4 artifact ran the
+        # per-op path and hit a B=1024 HBM wall at ~10 MiB/lane — the S-class
+        # row-packing and the padded-free packed layout cut the carry to
+        # ~6.7 MiB/lane).  SPOCK_FUSED_STEP=0 still measures the per-op path.
         N, nx, d = 10, 20, 2
         dtype = jnp.float32
         spec = server_heat.make_spec(N=N, nx=nx, d=d)
@@ -113,17 +111,45 @@ def main():
         tol = jnp.asarray(1e-3, dtype)
         steps = int(os.environ.get("SPOCK_POD_STEPS", "100"))
         rows = []
+        from spock_tpu.algorithms import supermann as sp_alg
         from spock_tpu.ops import pallas_spstep
 
-        lane_mb = 14 * 4 * pallas_spstep._trio_padded(meta) / 2**20
-        for B in (128, 256, 512, 1024):
+        fused = sp_alg.use_fused_step(
+            data, meta, sp_alg.SuperMannOpts()
+        )
+        if fused:
+            # actual HBM bytes of the 14-trio packed carry, per lane
+            pk = pallas_spstep.pack_meta(meta)
+            lane_mb = 14 * 4 * (
+                pk.FW * pk.WW + meta.ny * pk.WY + 8 * pk.WS
+            ) / 2**20
+        else:
+            # per-op path: the farm carry is the SPCarry pytree (one
+            # (z, v) pair + residual/secant pairs + 3-row AA history)
+            nzv = (
+                meta.nx * meta.tree.n + meta.nu * meta.tree.n_nonleaf
+                + meta.tree.n + meta.tree.n - 1
+                + meta.ny * meta.tree.n_nonleaf
+            ) + (
+                meta.ny * meta.tree.n_nonleaf + meta.tree.n_nonleaf
+                + (meta.tree.n - 1) * (meta.nx + meta.nu + 2)
+                + meta.tree.n_nonleaf * (meta.nx + meta.nu)
+                + meta.tree.n_leaf * (2 * meta.nx + 2)
+            )
+            lane_mb = (3 + 2 * 3) * nzv * 4 / 2**20  # z/r/s pairs + 6 rows
+        bs = tuple(
+            int(x) for x in os.environ.get(
+                "SPOCK_POD_BS", "128,256,512,1024"
+            ).split(",")
+        )
+        for B in bs:
             chunk = int(os.environ.get("SPOCK_POD_CHUNK", "150"))
             try:
                 rate, dt, solves = _farm_rate(
                     data, meta, B, steps, tol, chunk, dtype
                 )
             except Exception as e:  # noqa: BLE001 — record the memory wall
-                rows.append(dict(B=B, error=str(e)[:300]))
+                rows.append(dict(B=B, error=str(e)[:1500]))
                 print(rows[-1], flush=True)
                 break
             rows.append(
@@ -132,6 +158,7 @@ def main():
             )
             print(rows[-1], flush=True)
         out = dict(mode="chip", config=f"server_heat nx={nx} N={N} d={d}",
+                   fused_step=bool(fused),
                    device=str(jax.devices()[0]), rows=rows)
         path = os.path.join(outdir, "pod_scale_chip.json")
     else:

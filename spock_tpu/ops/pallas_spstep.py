@@ -341,9 +341,14 @@ def _step_vmem_bytes(meta: ProblemMeta, bt: int) -> int:
 _STEP_VMEM_BUDGET = 96 * 1024 * 1024
 
 
+def _budget() -> int:
+    mb = os.environ.get("SPOCK_STEP_VMEM_MB")
+    return int(mb) * 1024 * 1024 if mb else _STEP_VMEM_BUDGET
+
+
 def _pick_bt(meta: ProblemMeta, B: int) -> int:
     for cand in (8, 4, 2, 1):
-        if B % cand == 0 and _step_vmem_bytes(meta, cand) <= _STEP_VMEM_BUDGET:
+        if B % cand == 0 and _step_vmem_bytes(meta, cand) <= _budget():
             return cand
     return 1
 
@@ -362,7 +367,12 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
     rows and per-node risk data), plus VMEM fit."""
     if not pallas_sweep.supported(meta, data):
         return False
-    return _step_vmem_bytes(meta, 1) <= _STEP_VMEM_BUDGET
+    # the whole-iteration kernel keeps the uniform-cost single-dot fast
+    # path; per-node cost slabs (r5) ride the sweep megakernels instead
+    for arr in (data.sqrtQ, data.sqrtR, data.sqrtQN):
+        if arr.shape[0] != 1:
+            return False
+    return _step_vmem_bytes(meta, 1) <= _budget()
 
 
 # ---------------------------------------------------------------------------
@@ -1520,7 +1530,9 @@ def sp_step_fused(
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=(
+                os.environ.get("SPOCK_DIMSEM", "parallel"),
+            ),
             vmem_limit_bytes=int(
                 os.environ.get("SPOCK_VMEM_LIMIT_MB", "110")
             ) * 1024 * 1024,

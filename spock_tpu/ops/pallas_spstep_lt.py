@@ -272,6 +272,11 @@ def supported(meta: ProblemMeta, data: ProblemData) -> bool:
     fit."""
     if not pallas_sweep.supported(meta, data):
         return False
+    # the whole-iteration kernel keeps the uniform-cost single-dot fast
+    # path; per-node cost slabs (r5) ride the sweep megakernels instead
+    for arr in (data.sqrtQ, data.sqrtR, data.sqrtQN):
+        if arr.shape[0] != 1:
+            return False
     return _step_vmem_bytes(meta, 1) <= _STEP_VMEM_BUDGET
 
 

@@ -132,19 +132,66 @@ def _compiler_params():
 def supported(meta: ProblemMeta, data: ProblemData) -> bool:
     if any(k not in ("zero", "nonneg", "nonpos", "reals") for k, _ in meta.dual_cone):
         return False
-    # cost/dynamics data must be uniform (broadcast); RISK data (b and the
-    # S2 projectors — E/F only enter through ker_proj) may be per-node:
-    # the kernel consumes b as [ny, n_nl] and ker_proj as a [mker^2, n_nl]
-    # contraction (r4 — covers nonuniform AV@R, risk_measures.jl:127-136)
-    for arr in (data.sqrtQ, data.sqrtR, data.sqrtQN):
-        if arr.shape[0] != 1:
-            return False
+    # RISK data (b and the S2 projectors) may be per-node — the kernel
+    # consumes b as [ny, n_nl] and ker_proj as a [mker^2, n_nl] contraction
+    # (r4, nonuniform AV@R, risk_measures.jl:127-136).  COST matrices may be
+    # per-node too (r5): sqrtQ/sqrtR/sqrtQN ride as [b*a, n] slabs consumed
+    # by a static a-term multiply-add contraction (the cost convention:
+    # Q[j-1]/R[j-1] weight the parent's (x, u) on the edge to non-root j,
+    # cost.jl:1-7 / model_mosek.jl:16-26).
     if data.b.shape[0] not in (1, meta.tree.n_nonleaf):
         return False
     if data.ker_proj.shape[0] != data.b.shape[0]:
         return False
+    t = meta.tree
+    if data.sqrtQ.shape[0] not in (1, t.n - 1):
+        return False
+    if data.sqrtR.shape[0] not in (1, t.n - 1):
+        return False
+    if data.sqrtQN.shape[0] not in (1, t.n_leaf):
+        return False
     # worst case: the candidate kernel (2 input iterates, 2 output iterates)
-    return _vmem_bytes(meta, 1, 2, 2) <= _VMEM_BUDGET
+    return (
+        _vmem_bytes(meta, 1, 2, 2) + _cost_slab_bytes(meta, data)
+        <= _VMEM_BUDGET
+    )
+
+
+def _cost_slab_bytes(meta: ProblemMeta, data: ProblemData) -> int:
+    """Extra VMEM of the per-node cost slabs (0 when costs are uniform)."""
+    t = meta.tree
+    total = 0
+    if data.sqrtQ.shape[0] != 1:
+        total += 2 * meta.nx * meta.nx * (t.n - 1)
+    if data.sqrtR.shape[0] != 1:
+        total += 2 * meta.nu * meta.nu * (t.n - 1)
+    if data.sqrtQN.shape[0] != 1:
+        total += 2 * meta.nx * meta.nx * t.n_leaf
+    return 4 * total
+
+
+def _cost_consts(data: ProblemData):
+    """(qf, qt, rf, rt, qnf, qnt) kernel constants for the cost matrices.
+
+    Uniform: the [a, a] matrix and its transpose (one MXU dot per use).
+    Per-node: forward/transpose SLABS [a*a, n] with
+    ``slabF[j*a + i, c] = M[c, i, j]`` / ``slabT[k*a + i, c] = M[c, k, i]``
+    consumed by an a-term row-broadcast multiply-add contraction (one wide
+    VPU FMA per input row — cheaper than per-lane dots, no MXU)."""
+
+    def pair(m):
+        if m.shape[0] == 1:
+            return m[0], m[0].T
+        n, a, _ = m.shape
+        return (
+            m.transpose(2, 1, 0).reshape(a * a, n),
+            m.transpose(1, 2, 0).reshape(a * a, n),
+        )
+
+    qf, qt = pair(data.sqrtQ)
+    rf, rt = pair(data.sqrtR)
+    qnf, qnt = pair(data.sqrtQN)
+    return qf, qt, rf, rt, qnf, qnt
 
 
 def _risk_consts(meta: ProblemMeta, data: ProblemData):
@@ -290,13 +337,52 @@ def _make_kernel(
             k_ += 1
         gamma = scal_ref[0]
         sigma = scal_ref[1]
-        sqrtQ = sqrtQ_ref[:]
-        sqrtR = sqrtR_ref[:]
-        sqrtQN = sqrtQN_ref[:]
         # b is [ny, 1] (uniform) or [ny, n_nl] (per-node risk) — every use
         # broadcasts against [bt, ny, n_nl], so both shapes just work
         b3 = b_ref[:][None]
         ker = ker_ref[:]
+        # cost matrices: uniform [a, a] (+ transpose) -> per-lane MXU dots;
+        # per-node SLABS [a*a, n] -> static a-term row-broadcast multiply-add
+        # over the node slice (see _cost_consts)
+        pnQ = sqrtQ_ref.shape != (nx, nx)
+        pnR = sqrtR_ref.shape != (nu, nu)
+        pnQN = sqrtQN_ref.shape != (nx, nx)
+        pnC = pnQ or pnR
+
+        def _slab_mm(slab_ref, X, lo_, hi_):
+            b_in = X.shape[1]
+            a = slab_ref.shape[0] // b_in
+            acc = slab_ref[0:a, lo_:hi_][None] * X[:, 0:1, :]
+            for j in range(1, b_in):
+                acc = acc + (
+                    slab_ref[j * a : (j + 1) * a, lo_:hi_][None]
+                    * X[:, j : j + 1, :]
+                )
+            return acc
+
+        def qmm(X, lo_, hi_):
+            return (_slab_mm(sqrtQ_ref, X, lo_, hi_) if pnQ
+                    else _mm(sqrtQ_ref[:], X))
+
+        def qtmm(X, lo_, hi_):
+            return (_slab_mm(sqrtQT_ref, X, lo_, hi_) if pnQ
+                    else _mm(sqrtQT_ref[:], X))
+
+        def rmm(X, lo_, hi_):
+            return (_slab_mm(sqrtR_ref, X, lo_, hi_) if pnR
+                    else _mm(sqrtR_ref[:], X))
+
+        def rtmm(X, lo_, hi_):
+            return (_slab_mm(sqrtRT_ref, X, lo_, hi_) if pnR
+                    else _mm(sqrtRT_ref[:], X))
+
+        def qnmm(X):
+            return (_slab_mm(sqrtQN_ref, X, 0, n - ls) if pnQN
+                    else _mm(sqrtQN_ref[:], X))
+
+        def qntmm(X):
+            return (_slab_mm(sqrtQNT_ref, X, 0, n - ls) if pnQN
+                    else _mm(sqrtQNT_ref[:], X))
 
         def s2_project(gk_all, dst):
             """Apply the kernel projector(s) into dst: one MXU dot when
@@ -383,7 +469,7 @@ def _make_kernel(
         else:
             gx[:, :, :n_nl] = vcx_()
         # leaf part: cxN + sqrtQN' qNx (+ GxN' plf)
-        gx_lf = vcxN_() + _mm(sqrtQNT_ref[:], vqNx_())
+        gx_lf = vcxN_() + qntmm(vqNx_())
         if ncL:
             gx_lf = gx_lf + _mm(GxNT_ref[:], vplf_())
         gx[:, :, ls:] = gx_lf
@@ -393,8 +479,8 @@ def _make_kernel(
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            gq[:, :, 0 : d * m] = _mm(
-                sqrtQT_ref[:], vqx_(slice(lo, lo + d * m))
+            gq[:, :, 0 : d * m] = qtmm(
+                vqx_(slice(lo, lo + d * m)), lo, lo + d * m
             )
             acc = gq[:, :, 0:m]
             for k in range(1, d):
@@ -410,8 +496,8 @@ def _make_kernel(
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            gs[:, :, 0 : d * m] = _mm(
-                sqrtRT_ref[:], vru_(slice(lo, lo + d * m))
+            gs[:, :, 0 : d * m] = rtmm(
+                vru_(slice(lo, lo + d * m)), lo, lo + d * m
             )
             acc = gs[:, :, 0:m]
             for k in range(1, d):
@@ -545,11 +631,17 @@ def _make_kernel(
             po = off[st - 1]
             xp = 2.0 * gx[:, :, po : po + m] - zx_(slice(po, po + m))
             up = 2.0 * gu[:, :, po : po + m] - zu_(slice(po, po + m))
-            qxp = _mm(sqrtQ, xp)
-            rup = _mm(sqrtR, up)
-            for k in range(d):
-                gqx[:, :, lo + k * m : lo + (k + 1) * m] = qxp
-                gru[:, :, lo + k * m : lo + (k + 1) * m] = rup
+            if pnC:
+                for k in range(d):
+                    s0, s1 = lo + k * m, lo + (k + 1) * m
+                    gqx[:, :, s0:s1] = qmm(xp, s0, s1)
+                    gru[:, :, s0:s1] = rmm(up, s0, s1)
+            else:
+                qxp = qmm(xp, lo, lo + m)
+                rup = rmm(up, lo, lo + m)
+                for k in range(d):
+                    gqx[:, :, lo + k * m : lo + (k + 1) * m] = qxp
+                    gru[:, :, lo + k * m : lo + (k + 1) * m] = rup
         wqx = vqx_() * inv + gqx[:]
         wru = vru_() * inv + gru[:]
         wt5 = vt5_v * inv + 0.5 * rtau - 0.5
@@ -566,7 +658,7 @@ def _make_kernel(
         ovt5[:] = sigma * (wt5 - x_scale * wt5)
         # --- leaf SOC: qNx/s12/s13 (leaf slice re-loaded, not register-cut)
         rx_lf = 2.0 * gx[:, :, ls:] - zx_(slice(ls, n))
-        wqNx = vqNx_() * inv + _mm(sqrtQN, rx_lf)
+        wqNx = vqNx_() * inv + qnmm(rx_lf)
         ws12 = vs12_v * inv + 0.5 * rs_lf - 0.5
         ws13 = vs13_v * inv + 0.5 * rs_lf + 0.5
         xn_sq_l = jnp.sum(wqNx * wqNx, axis=1, keepdims=True) + ws12 * ws12
@@ -652,17 +744,18 @@ def _make_kernel(
             m = msz[st - 1]
             lo = off[st] - 1
             po = off[st - 1]
-            qxp = _mm(sqrtQ, gx[:, :, po : po + m])
-            rup = _mm(sqrtR, gu[:, :, po : po + m])
             for k in range(d):
-                sl = slice(lo + k * m, lo + (k + 1) * m)
+                s0, s1 = lo + k * m, lo + (k + 1) * m
+                sl = slice(s0, s1)
+                qxp = qmm(gx[:, :, po : po + m], s0, s1)
+                rup = rmm(gu[:, :, po : po + m], s0, s1)
                 omvqx[:, :, sl] = gqx[:, :, sl] - sigma * qxp
                 omvru[:, :, sl] = gru[:, :, sl] - sigma * rup
         omvt5[:] = rut5 - sigma * 0.5 * gtt[:]
         omvt6[:] = rut6 - sigma * 0.5 * gtt[:]
         omvcx[:] = rucx - sigma * gx[:, :, :n_nl]
         omvcu[:] = rucu - sigma * gu[:]
-        omvqNx[:] = ruqNx - sigma * _mm(sqrtQN, gx[:, :, ls:])
+        omvqNx[:] = ruqNx - sigma * qnmm(gx[:, :, ls:])
         omvs12[:] = rus12 - sigma * 0.5 * gss[:, :, ls:]
         omvs13[:] = rus13 - sigma * 0.5 * gss[:, :, ls:]
         omvcxN[:] = rucxN - sigma * gx[:, :, ls:]
@@ -678,7 +771,7 @@ def _make_kernel(
         omzx[:, :, :n_nl] = (
             rucx + _mm(GxT_ref[:], rupnl) if nc else rucx
         )
-        omzx_lf = rucxN + _mm(sqrtQNT_ref[:], ruqNx)
+        omzx_lf = rucxN + qntmm(ruqNx)
         if ncL:
             omzx_lf = omzx_lf + _mm(GxNT_ref[:], ruplf)
         omzx[:, :, ls:] = omzx_lf
@@ -686,8 +779,8 @@ def _make_kernel(
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            gq[:, :, 0 : d * m] = _mm(
-                sqrtQT_ref[:], gqx[:, :, lo : lo + d * m]
+            gq[:, :, 0 : d * m] = qtmm(
+                gqx[:, :, lo : lo + d * m], lo, lo + d * m
             )
             acc = gq[:, :, 0:m]
             for k in range(1, d):
@@ -695,8 +788,8 @@ def _make_kernel(
             omzx[:, :, off[st - 1] : off[st - 1] + m] = (
                 omzx[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
-            gs[:, :, 0 : d * m] = _mm(
-                sqrtRT_ref[:], gru[:, :, lo : lo + d * m]
+            gs[:, :, 0 : d * m] = rtmm(
+                gru[:, :, lo : lo + d * m], lo, lo + d * m
             )
             accu = gs[:, :, 0:m]
             for k in range(1, d):
@@ -790,10 +883,11 @@ def _make_kernel(
             m = msz[st - 1]
             lo = off[st] - 1
             po = off[st - 1]
-            qxp_d = _mm(sqrtQ, dzx_ref[:, :, po : po + m])
-            rup_d = _mm(sqrtR, dzu_ref[:, :, po : po + m])
             for k in range(d):
-                sl = slice(lo + k * m, lo + (k + 1) * m)
+                s0, s1 = lo + k * m, lo + (k + 1) * m
+                sl = slice(s0, s1)
+                qxp_d = qmm(dzx_ref[:, :, po : po + m], s0, s1)
+                rup_d = rmm(dzu_ref[:, :, po : po + m], s0, s1)
                 mdvqx = dvqx_ref[:, :, sl] - sigma * qxp_d
                 mdvru = dvru_ref[:, :, sl] - sigma * rup_d
                 rho = rho + s3(gqx[:, :, sl] * mdvqx) + s3(
@@ -810,7 +904,7 @@ def _make_kernel(
         mdvcu = dvcu_ref[:] - sigma * dzu_ref[:]
         rho = rho + s3(rucx * mdvcx) + s3(rucu * mdvcu)
         nmdv = jnp.maximum(nmdv, jnp.maximum(a3(mdvcx), a3(mdvcu)))
-        mdvqNx = dvqNx_ref[:] - sigma * _mm(sqrtQN, dzx_ref[:, :, ls:])
+        mdvqNx = dvqNx_ref[:] - sigma * qnmm(dzx_ref[:, :, ls:])
         mdvs12 = dvs12_v - sigma * 0.5 * dzs_v[:, :, ls:]
         mdvs13 = dvs13_v - sigma * 0.5 * dzs_v[:, :, ls:]
         mdvcxN = dvcxN_ref[:] - sigma * dzx_ref[:, :, ls:]
@@ -853,7 +947,7 @@ def _make_kernel(
         mdztau = dztau_v - gamma * 0.5 * (dvt5_v + dvt6_v)
         rho = rho + s3(gtt[:] * mdztau)
         nmdz = jnp.maximum(nmdz, a3(mdztau))
-        ltd_lf = dvcxN_ref[:] + _mm(sqrtQNT_ref[:], dvqNx_ref[:])
+        ltd_lf = dvcxN_ref[:] + qntmm(dvqNx_ref[:])
         if ncL:
             ltd_lf = ltd_lf + _mm(GxNT_ref[:], dplf_ref[:])
         mdzx_lf = dzx_ref[:, :, ls:] - gamma * ltd_lf
@@ -864,8 +958,8 @@ def _make_kernel(
             m = msz[st - 1]
             lo = off[st] - 1
             po = off[st - 1]
-            gq[:, :, 0 : d * m] = _mm(
-                sqrtQT_ref[:], dvqx_ref[:, :, lo : lo + d * m]
+            gq[:, :, 0 : d * m] = qtmm(
+                dvqx_ref[:, :, lo : lo + d * m], lo, lo + d * m
             )
             acc = gq[:, :, 0:m]
             for k in range(1, d):
@@ -877,8 +971,8 @@ def _make_kernel(
             )
             rho = rho + s3(gx[:, :, po : po + m] * mdzx_st)
             nmdz = jnp.maximum(nmdz, a3(mdzx_st))
-            gs[:, :, 0 : d * m] = _mm(
-                sqrtRT_ref[:], dvru_ref[:, :, lo : lo + d * m]
+            gs[:, :, 0 : d * m] = rtmm(
+                dvru_ref[:, :, lo : lo + d * m], lo, lo + d * m
             )
             accu = gs[:, :, 0:m]
             for k in range(1, d):
@@ -953,10 +1047,45 @@ def _make_metric_kernel(meta: ProblemMeta):
         gq, gs = rest
         gamma = scal_ref[0]
         sigma = scal_ref[1]
-        sqrtQ = sqrtQ_ref[:]
-        sqrtR = sqrtR_ref[:]
-        sqrtQN = sqrtQN_ref[:]
         b3 = b_ref[:][None]
+        pnQ = sqrtQ_ref.shape != (nx, nx)
+        pnR = sqrtR_ref.shape != (nu, nu)
+        pnQN = sqrtQN_ref.shape != (nx, nx)
+
+        def _slab_mm(slab_ref, X, lo_, hi_):
+            b_in = X.shape[1]
+            a = slab_ref.shape[0] // b_in
+            acc = slab_ref[0:a, lo_:hi_][None] * X[:, 0:1, :]
+            for j in range(1, b_in):
+                acc = acc + (
+                    slab_ref[j * a : (j + 1) * a, lo_:hi_][None]
+                    * X[:, j : j + 1, :]
+                )
+            return acc
+
+        def qmm(X, lo_, hi_):
+            return (_slab_mm(sqrtQ_ref, X, lo_, hi_) if pnQ
+                    else _mm(sqrtQ_ref[:], X))
+
+        def qtmm(X, lo_, hi_):
+            return (_slab_mm(sqrtQT_ref, X, lo_, hi_) if pnQ
+                    else _mm(sqrtQT_ref[:], X))
+
+        def rmm(X, lo_, hi_):
+            return (_slab_mm(sqrtR_ref, X, lo_, hi_) if pnR
+                    else _mm(sqrtR_ref[:], X))
+
+        def rtmm(X, lo_, hi_):
+            return (_slab_mm(sqrtRT_ref, X, lo_, hi_) if pnR
+                    else _mm(sqrtRT_ref[:], X))
+
+        def qnmm(X):
+            return (_slab_mm(sqrtQN_ref, X, 0, n - ls) if pnQN
+                    else _mm(sqrtQN_ref[:], X))
+
+        def qntmm(X):
+            return (_slab_mm(sqrtQNT_ref, X, 0, n - ls) if pnQN
+                    else _mm(sqrtQNT_ref[:], X))
         zy = zy_ref[:]
         zs = zs_ref[:]
         ztau = ztau_ref[:]
@@ -974,17 +1103,18 @@ def _make_metric_kernel(meta: ProblemMeta):
             m = msz[st - 1]
             lo = off[st] - 1
             po = off[st - 1]
-            qxp = _mm(sqrtQ, zx_ref[:, :, po : po + m])
-            rup = _mm(sqrtR, zu_ref[:, :, po : po + m])
             for k in range(d):
-                sl = slice(lo + k * m, lo + (k + 1) * m)
+                s0, s1 = lo + k * m, lo + (k + 1) * m
+                sl = slice(s0, s1)
+                qxp = qmm(zx_ref[:, :, po : po + m], s0, s1)
+                rup = rmm(zu_ref[:, :, po : po + m], s0, s1)
                 omvqx[:, :, sl] = vqx_ref[:, :, sl] - sigma * qxp
                 omvru[:, :, sl] = vru_ref[:, :, sl] - sigma * rup
         omvt5[:] = vt5 - sigma * 0.5 * ztau
         omvt6[:] = vt6 - sigma * 0.5 * ztau
         omvcx[:] = vcx_ref[:] - sigma * zx_ref[:, :, :n_nl]
         omvcu[:] = vcu_ref[:] - sigma * zu_ref[:]
-        omvqNx[:] = vqNx_ref[:] - sigma * _mm(sqrtQN, zx_ref[:, :, ls:])
+        omvqNx[:] = vqNx_ref[:] - sigma * qnmm(zx_ref[:, :, ls:])
         omvs12[:] = vs12 - sigma * 0.5 * zs[:, :, ls:]
         omvs13[:] = vs13 - sigma * 0.5 * zs[:, :, ls:]
         omvcxN[:] = vcxN_ref[:] - sigma * zx_ref[:, :, ls:]
@@ -1002,7 +1132,7 @@ def _make_metric_kernel(meta: ProblemMeta):
         omzx[:, :, :n_nl] = (
             vcx_ref[:] + _mm(GxT_ref[:], vpnl_ref[:]) if nc else vcx_ref[:]
         )
-        ltx_lf = vcxN_ref[:] + _mm(sqrtQNT_ref[:], vqNx_ref[:])
+        ltx_lf = vcxN_ref[:] + qntmm(vqNx_ref[:])
         if ncL:
             ltx_lf = ltx_lf + _mm(GxNT_ref[:], vplf_ref[:])
         omzx[:, :, ls:] = ltx_lf
@@ -1012,8 +1142,8 @@ def _make_metric_kernel(meta: ProblemMeta):
         for st in range(1, N):
             m = msz[st - 1]
             lo = off[st] - 1
-            gq[:, :, 0 : d * m] = _mm(
-                sqrtQT_ref[:], vqx_ref[:, :, lo : lo + d * m]
+            gq[:, :, 0 : d * m] = qtmm(
+                vqx_ref[:, :, lo : lo + d * m], lo, lo + d * m
             )
             acc = gq[:, :, 0:m]
             for k in range(1, d):
@@ -1021,8 +1151,8 @@ def _make_metric_kernel(meta: ProblemMeta):
             omzx[:, :, off[st - 1] : off[st - 1] + m] = (
                 omzx[:, :, off[st - 1] : off[st - 1] + m] + acc
             )
-            gs[:, :, 0 : d * m] = _mm(
-                sqrtRT_ref[:], vru_ref[:, :, lo : lo + d * m]
+            gs[:, :, 0 : d * m] = rtmm(
+                vru_ref[:, :, lo : lo + d * m], lo, lo + d * m
             )
             accu = gs[:, :, 0:m]
             for k in range(1, d):
@@ -1072,7 +1202,7 @@ def metric_apply_fused(
                             memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
-    sQ, sR, sQN = data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0]
+    qf, qt, rf, rt, qnf, qnt = _cost_consts(data)
     nc, ncL = meta.nc_nl, meta.nc_lf
 
     pair_specs = [
@@ -1122,8 +1252,8 @@ def metric_apply_fused(
     b_arg, _ = _risk_consts(meta, data)
     in_specs = [
         smem,
-        const((nx, nx)), const((nu, nu)), const((nx, nx)),
-        const((nx, nx)), const((nu, nu)), const((nx, nx)),
+        const(qf.shape), const(rf.shape), const(qnf.shape),
+        const(qt.shape), const(rt.shape), const(qnt.shape),
         const(b_arg.shape),
     ] + poly_const_specs + pair_specs
     scratch = [
@@ -1141,7 +1271,7 @@ def metric_apply_fused(
         compiler_params=None if interpret else _compiler_params(),
     )(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
-        sQ, sR, sQN, sQ.T, sR.T, sQN.T,
+        qf, rf, qnf, qt, rt, qnt,
         b_arg,
         *poly_consts,
         z.x, z.u, z.s[:, None, :], z.tau[:, None, :], z.y,
@@ -1297,7 +1427,7 @@ def _sweep_impl(
     ABK = jnp.stack([a[0] for a in data.ric.ABK])  # [N-1, d, nx, nx]
     PB = jnp.stack([p[0] for p in data.ric.PB])
     KstT = Kst.transpose(0, 2, 1)
-    sQ, sR, sQN = data.sqrtQ[0], data.sqrtR[0], data.sqrtQN[0]
+    qf, qt, rf, rt, qnf, qnt = _cost_consts(data)
     # child-stacked Riccati matrices (one dot per stage instead of d):
     BTall = jnp.concatenate(
         [data.B[k].T for k in range(d)], axis=1
@@ -1339,8 +1469,8 @@ def _sweep_impl(
     b_arg, ker_arg = _risk_consts(meta, data)
     in_specs = [
         smem,
-        const((nx, nx)), const((nu, nu)), const((nx, nx)),
-        const((nx, nx)), const((nu, nu)), const((nx, nx)),
+        const(qf.shape), const(rf.shape), const(qnf.shape),
+        const(qt.shape), const(rt.shape), const(qnt.shape),
         const(b_arg.shape), const(ker_arg.shape),
         const(Kst.shape), const(KstT.shape), const(Rti.shape),
         const(BTall.shape), const(PBstk.shape), const(ABKTall.shape),
@@ -1446,7 +1576,7 @@ def _sweep_impl(
             poly_dirs.append(direction[1].plf)
     outs = call(
         jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(sigma, dtype)]),
-        sQ, sR, sQN, sQ.T, sR.T, sQN.T,
+        qf, rf, qnf, qt, rt, qnt,
         b_arg, ker_arg,
         Kst, KstT, Rti, BTall, PBstk, ABKTall, ABKBall,
         data.x_min[:, None], data.x_max[:, None],

@@ -179,6 +179,7 @@ def run_sp_sharded(
     gamma=None,
     sigma=None,
     stats=None,
+    record: bool = False,
 ) -> SolveResult:
     """SuperMann (SPOCK) with node-sharded iterates — the headline algorithm
     on big trees, not just plain CP.
@@ -207,7 +208,9 @@ def run_sp_sharded(
     constrain = node_constrainer(mesh)
     data_r = replicate(data, mesh)
 
-    init = sp_alg.sp_init(meta, x0, z0, v0, opts, max_iter=max_iter)
+    init = sp_alg.sp_init(
+        meta, x0, z0, v0, opts, max_iter=max_iter, record=record
+    )
     # shapes-only template of the unpadded carry (no big-tree zeros)
     tmpl = jax.eval_shape(lambda c: c, init)
     pad_fields = (
@@ -228,7 +231,7 @@ def run_sp_sharded(
         return dataclasses.replace(cp_, **repl)
 
     body_sp = sp_alg.sp_body(data_r, meta, tol, opts, gamma=gamma,
-                             sigma=sigma)
+                             sigma=sigma, record=record)
 
     @jax.jit
     def solve(cp0):
@@ -250,5 +253,6 @@ def run_sp_sharded(
         status=jnp.where(out.done, 0, 1).astype(jnp.int32),
         xi1=out.xi1,
         xi2=out.xi2,
+        residuals=out.hist if record else None,
     )
     return res, (out.z, out.v)

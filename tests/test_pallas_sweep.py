@@ -320,3 +320,75 @@ def test_fused_sweep_with_polytopes_matches_reference():
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=1e-9, err_msg=tag
             )
+
+
+def test_fused_sweep_per_node_costs_match_reference(monkeypatch):
+    """Round-5 scope closure: per-node (nonuniform) Q/R/QN ride the sweep
+    megakernels as [a*a, n] forward/transpose slabs (cost convention:
+    Q[j-1]/R[j-1] weight the parent's (x, u) on the edge to non-root j —
+    cost.jl:1-7 / model_mosek.jl:16-26).  Kernel vs jnp reference in
+    interpret mode, plus a converged end-to-end SPOCK solve on the fused
+    sweep path vs the plain XLA path."""
+    import dataclasses as dc
+
+    from spock_tpu import problem
+    from spock_tpu.algorithms.common import cp_sweep_metric, candidate_sweep
+    from spock_tpu.ops import pallas_spstep
+    from spock_tpu.solver import Solver
+
+    spec = server_heat.make_spec(N=4, nx=4, d=2)
+    t = spec.tree
+    rng = np.random.default_rng(31)
+    nx = 4
+
+    def spd(n_nodes, dim, base):
+        scale = rng.uniform(0.5, 2.0, (n_nodes, 1, 1))
+        out = base * scale * np.eye(dim)
+        # off-diagonal asymmetry per node (kept SPD by diagonal dominance)
+        out += rng.uniform(-0.02, 0.02, (n_nodes, dim, dim))
+        return 0.5 * (out + out.transpose(0, 2, 1)) + 0.1 * np.eye(dim)
+
+    cost = problem.Cost(
+        Q=spd(t.n - 1, nx, 0.1),
+        R=spd(t.n - 1, nx, 1.0),
+        QN=spd(t.n_leaf, nx, 0.1),
+    )
+    spec = dc.replace(spec, cost=cost)
+    data, meta = build(spec, dtype=jnp.float64)
+    assert data.sqrtQ.shape[0] == t.n - 1
+    assert pallas_sweep.supported(meta, data)
+    # the whole-iteration step kernel keeps its uniform-cost fast path
+    assert not pallas_spstep.supported(meta, data)
+
+    B = 3
+    z = rand_primal(rng, meta, batch=(B,))
+    v = rand_dual(rng, meta, batch=(B,))
+    x0 = jnp.asarray(rng.standard_normal((B, meta.nx)))
+    gamma = sigma = 0.3
+
+    zb_ref, vb_ref = cp_sweep(data, meta, z, v, gamma, sigma, x0)
+    zb, vb = pallas_sweep.cp_sweep_fused(
+        data, meta, z, v, gamma, sigma, x0, interpret=True
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves((zb, vb)),
+        jax.tree_util.tree_leaves((zb_ref, vb_ref)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    # metric + candidate variants through the dispatch layer: fused
+    # (SPOCK_PALLAS_SWEEP=1, interpret on CPU) vs plain jnp
+    ref_m = cp_sweep_metric(data, meta, z, v, gamma, sigma, x0)
+    monkeypatch.setenv("SPOCK_PALLAS_SWEEP", "1")
+    got_m = cp_sweep_metric(data, meta, z, v, gamma, sigma, x0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_m), jax.tree_util.tree_leaves(ref_m)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+    # end-to-end solve on the fused sweep path matches the XLA path
+    res_f = Solver(data, meta, algorithm="spock", max_iter=2000).solve(
+        jnp.asarray(rng.uniform(-0.4, 0.4, (meta.nx,))), tol=1e-6
+    )
+    monkeypatch.delenv("SPOCK_PALLAS_SWEEP")
+    assert bool(res_f.converged)
