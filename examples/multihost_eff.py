@@ -32,7 +32,7 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-B_LOCAL = 32  # lanes per process (weak scaling)
+B_LOCAL = 32  # lanes per process (weak scaling; one CPU device each)
 N_SOLVES = 6  # timed warm-started solves
 N, NX, D = 6, 8, 2
 TOL = 1e-4
@@ -40,7 +40,10 @@ TOL = 1e-4
 
 def worker(pid: int, nproc: int, port: str, out_path: str):
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # ONE virtual device per process: parties must not exceed physical cores
+    # (this host: 2), else the measurement reads core oversubscription, not
+    # communication overhead
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
